@@ -1,0 +1,97 @@
+"""Synthetic BAL-style problem generator.
+
+The reference benchmarks exclusively on downloaded BAL files
+(`/root/reference/get_data.sh`); this module generates statistically similar
+problems of any size on-host (numpy), so correctness and scaling tests never
+need network access. Geometry follows BAL conventions: cameras with small
+axis-angle rotations placed so points sit at negative camera-frame depth
+(BAL projects with ``P2 = -P1[:2]/P1[2]``), focal ~400, mild radial
+distortion, Gaussian pixel noise, perturbed initial estimates.
+
+With ``noise_px=0`` and ``perturb=0`` the generated state is the global
+optimum (objective 0) — the anchor for solver convergence tests. With noise,
+the optimum objective is approximately ``nobs * noise_px**2`` (chi-square),
+useful as a loose convergence target.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bundleadjustment_jl_tpu.models.problem import BAProblem
+
+
+def _project_np(cams: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Vectorized numpy twin of models.camera.project (host-side oracle)."""
+    r = cams[:, 0:3]
+    t = cams[:, 3:6]
+    k1, k2, f = cams[:, 6], cams[:, 7], cams[:, 8]
+    theta = np.linalg.norm(r, axis=1, keepdims=True)
+    theta = np.maximum(theta, 1e-30)
+    k = r / theta
+    c = np.cos(theta)
+    s = np.sin(theta)
+    kdX = np.sum(k * points, axis=1, keepdims=True)
+    p1 = c * points + s * np.cross(k, points) + (1 - c) * kdX * k + t
+    p2 = -p1[:, 0:2] / p1[:, 2:3]
+    n2 = np.sum(p2 * p2, axis=1)
+    rho = 1.0 + k1 * n2 + k2 * n2 * n2
+    return (f * rho)[:, None] * p2
+
+
+def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
+                  noise_px: float = 0.5, perturb: float = 1e-3,
+                  seed: int = 0, dtype=np.float64, pad_obs_to: int = 128,
+                  name: str | None = None) -> tuple[BAProblem, dict]:
+    """Generate a synthetic BA problem.
+
+    Returns ``(problem, truth)`` where ``truth`` holds the ground-truth
+    ``cams``/``points`` and the objective value at the truth.
+    """
+    rng = np.random.default_rng(seed)
+    obs_per_pnt = min(obs_per_pnt, ncams)
+
+    # Ground-truth scene: point cloud in a unit-ish ball around the origin.
+    points = rng.normal(size=(npnts, 3)) * np.array([1.0, 1.0, 0.3])
+
+    # Cameras: small rotations, positioned so the cloud is at z ~ -depth in
+    # camera frame (BAL negative-depth convention).
+    depth = 6.0
+    cams = np.zeros((ncams, 9))
+    cams[:, 0:3] = rng.normal(scale=0.05, size=(ncams, 3))        # rodrigues
+    cams[:, 3:5] = rng.normal(scale=0.3, size=(ncams, 2))         # tx, ty
+    cams[:, 5] = -depth + rng.normal(scale=0.3, size=ncams)       # tz
+    cams[:, 6] = rng.normal(scale=1e-7, size=ncams)               # k1
+    cams[:, 7] = rng.normal(scale=1e-13, size=ncams)              # k2
+    cams[:, 8] = 400.0 + rng.normal(scale=20.0, size=ncams)       # f
+
+    # Observations: each point seen by `obs_per_pnt` distinct cameras. Every
+    # camera is additionally guaranteed at least one observation.
+    pnt_idx = np.repeat(np.arange(npnts), obs_per_pnt)
+    cam_idx = np.empty(npnts * obs_per_pnt, dtype=np.int64)
+    for p in range(npnts):
+        cam_idx[p * obs_per_pnt:(p + 1) * obs_per_pnt] = rng.choice(
+            ncams, size=obs_per_pnt, replace=False)
+    cam_idx[:ncams * obs_per_pnt:obs_per_pnt][:ncams] = np.arange(ncams)
+
+    proj = _project_np(cams[cam_idx], points[pnt_idx])
+    pt2d = proj + rng.normal(scale=noise_px, size=proj.shape)
+
+    # Initial estimate: truth perturbed (relative for f, absolute elsewhere).
+    cams0 = cams.copy()
+    cams0[:, 0:6] += rng.normal(scale=perturb, size=(ncams, 6))
+    cams0[:, 8] *= 1.0 + rng.normal(scale=perturb, size=ncams)
+    points0 = points + rng.normal(scale=perturb, size=points.shape)
+
+    if name is None:
+        name = f"synthetic-{ncams}-{npnts}"
+    problem = BAProblem.from_arrays(cams0, points0, cam_idx, pnt_idx, pt2d,
+                                    dtype=dtype, pad_obs_to=pad_obs_to,
+                                    name=name)
+    res_truth = _project_np(cams[cam_idx], points[pnt_idx]) - pt2d
+    truth = {
+        "cams": cams,
+        "points": points,
+        "objective": 0.5 * float(np.sum(res_truth ** 2)),
+    }
+    return problem, truth

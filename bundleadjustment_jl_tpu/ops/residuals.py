@@ -1,0 +1,40 @@
+"""Batched reprojection residuals.
+
+The reference evaluates residuals per observation in a threaded/SIMD scalar
+loop (`/root/reference/src/BALNLPModels.jl:39-55`, ``residuals!``) and
+subtracts the observed 2D points in ``cons!`` (`BALNLPModels.jl:115-122`).
+Here the whole observation axis is one batched computation: gather camera and
+point rows, `vmap` the projection, subtract observations — XLA fuses the
+chain and vectorizes over the VPU; under `shard_map` the observation axis
+shards over the device mesh (the TPU analogue of the reference's
+`@threads` block partition, SURVEY.md §2.3).
+
+Residual convention (matches the reference): ``res_k = proj(C_cam(k), X_pnt(k))
+- pt2d_k``, weighted by ``w_k`` (0 for padded rows).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_jl_tpu.models.camera import project
+from bundleadjustment_jl_tpu.models.problem import BAProblem
+
+_project_batch = jax.vmap(project, in_axes=(0, 0))
+
+
+def residuals(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
+    """Weighted residuals, shape (nobs_pad, 2). Padded rows are exactly 0."""
+    cams = problem.cams if cams is None else cams
+    points = problem.points if points is None else points
+    c = cams[problem.cam_idx]       # (nobs_pad, 9) gather
+    X = points[problem.pnt_idx]     # (nobs_pad, 3) gather
+    proj = _project_batch(c, X)     # (nobs_pad, 2)
+    return (proj - problem.pt2d) * problem.w[:, None]
+
+
+def objective(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
+    """0.5 * ||r||^2, the reference's objective (`src/lm.jl:41`)."""
+    r = residuals(problem, cams, points)
+    return 0.5 * jnp.vdot(r, r)

@@ -1,0 +1,62 @@
+"""BAL reader/writer round-trip and synthetic generator tests."""
+
+import numpy as np
+
+from bundleadjustment_jl_tpu.io.bal import read_bal, write_bal
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
+from bundleadjustment_jl_tpu.ops.residuals import objective, residuals
+
+
+def test_synthetic_zero_noise_is_optimal():
+    problem, truth = synthetic_bal(ncams=5, npnts=40, obs_per_pnt=3,
+                                   noise_px=0.0, perturb=0.0, seed=1,
+                                   pad_obs_to=8)
+    assert truth["objective"] == 0.0
+    assert float(objective(problem)) < 1e-16
+
+
+def test_synthetic_consistency():
+    problem, truth = synthetic_bal(ncams=6, npnts=50, obs_per_pnt=3,
+                                   noise_px=0.5, perturb=1e-3, seed=2,
+                                   pad_obs_to=8)
+    # numpy oracle in the generator agrees with the JAX residual path at the
+    # ground-truth state.
+    obj_truth = float(objective(problem, cams=problem.cams * 0 +
+                                np.asarray(truth["cams"]),
+                                points=problem.points * 0 +
+                                np.asarray(truth["points"])))
+    np.testing.assert_allclose(obj_truth, truth["objective"], rtol=1e-10)
+    # Every camera observes something (needed for a nonsingular camera block)
+    seen = np.unique(np.asarray(problem.cam_idx[problem.w > 0]))
+    assert seen.size == problem.ncams
+
+
+def test_bal_roundtrip(tmp_path):
+    problem, _ = synthetic_bal(ncams=4, npnts=20, obs_per_pnt=3,
+                               seed=3, pad_obs_to=8)
+    for suffix in (".txt", ".txt.bz2"):
+        path = str(tmp_path / f"roundtrip{suffix}")
+        write_bal(path, problem)
+        back = read_bal(path, pad_obs_to=8)
+        np.testing.assert_allclose(np.asarray(back.cams),
+                                   np.asarray(problem.cams), rtol=1e-14)
+        np.testing.assert_allclose(np.asarray(back.points),
+                                   np.asarray(problem.points), rtol=1e-14)
+        np.testing.assert_array_equal(np.asarray(back.cam_idx),
+                                      np.asarray(problem.cam_idx))
+        np.testing.assert_array_equal(np.asarray(back.pnt_idx),
+                                      np.asarray(problem.pnt_idx))
+        r0 = np.asarray(residuals(problem))
+        r1 = np.asarray(residuals(back))
+        np.testing.assert_allclose(r1, r0, atol=1e-5)
+
+
+def test_flatten_unflatten_roundtrip():
+    problem, _ = synthetic_bal(ncams=3, npnts=10, obs_per_pnt=2, seed=4,
+                               pad_obs_to=8)
+    x = problem.flatten_state()
+    assert x.shape == (problem.nvar,)
+    cams, points = problem.unflatten_state(x)
+    np.testing.assert_array_equal(np.asarray(cams), np.asarray(problem.cams))
+    np.testing.assert_array_equal(np.asarray(points),
+                                  np.asarray(problem.points))
