@@ -65,14 +65,23 @@ def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
     cams[:, 7] = rng.normal(scale=1e-13, size=ncams)              # k2
     cams[:, 8] = 400.0 + rng.normal(scale=20.0, size=ncams)       # f
 
-    # Observations: each point seen by `obs_per_pnt` distinct cameras. Every
-    # camera is additionally guaranteed at least one observation.
+    # Observations: each point seen by `obs_per_pnt` distinct cameras, every
+    # (cam, pnt) pair unique (a BAL invariant that `ops.schur` exploits for
+    # the exact block-Jacobi preconditioner). Every camera is guaranteed at
+    # least one observation by forcing camera ``p % ncams`` into point p's
+    # camera set for the first ncams points.
     pnt_idx = np.repeat(np.arange(npnts), obs_per_pnt)
     cam_idx = np.empty(npnts * obs_per_pnt, dtype=np.int64)
     for p in range(npnts):
-        cam_idx[p * obs_per_pnt:(p + 1) * obs_per_pnt] = rng.choice(
-            ncams, size=obs_per_pnt, replace=False)
-    cam_idx[:ncams * obs_per_pnt:obs_per_pnt][:ncams] = np.arange(ncams)
+        sl = slice(p * obs_per_pnt, (p + 1) * obs_per_pnt)
+        if p < ncams:
+            forced = p % ncams
+            others = rng.choice(
+                np.delete(np.arange(ncams), forced),
+                size=obs_per_pnt - 1, replace=False)
+            cam_idx[sl] = np.concatenate([[forced], others])
+        else:
+            cam_idx[sl] = rng.choice(ncams, size=obs_per_pnt, replace=False)
 
     proj = _project_np(cams[cam_idx], points[pnt_idx])
     pt2d = proj + rng.normal(scale=noise_px, size=proj.shape)

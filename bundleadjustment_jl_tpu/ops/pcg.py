@@ -1,0 +1,101 @@
+"""Block-Jacobi preconditioned conjugate gradient on the reduced camera system.
+
+The iterative heir of the reference's direct solves (`src/ldl_aux.jl`
+LDL^T / `src/qr_aux.jl` SPQR): instead of refactorizing a sparse matrix each
+LM iteration (the reference's dominant cost, SURVEY.md §4.1 "HOT LOOP 3"),
+each LM step runs a bounded `lax.while_loop` of matrix-free Schur matvecs —
+every iteration is batched einsums + segment_sums that XLA fuses and shards.
+
+Preconditioner: exact block-Jacobi of S (9x9 camera blocks, Cholesky-
+factored once per LM step). This is the role the reference's equilibration
+(`src/lma_aux.jl:98-166`, `normalize_*`) and fill-reducing orderings play:
+taming per-camera scale disparity (focal ~400 vs k2 ~1e-13).
+
+The CG tolerance follows an Eisenstat-Walker-style forcing sequence when
+requested, matching inexact-Newton practice; the reference always solves
+exactly (direct factorization), which PCG reproduces with ``rtol ~ 1e-12``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray          # (ncams, 9) solution
+    iters: jnp.ndarray      # scalar int32, matvecs used
+    rel_res: jnp.ndarray    # scalar, final ||Sx-b|| / ||b||
+
+
+def block_cholesky(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of SPD preconditioner blocks (ncams, 9, 9)."""
+    return jnp.linalg.cholesky(blocks)
+
+
+def block_cho_solve(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Apply M^{-1} via the batched Cholesky factors: v is (ncams, 9)."""
+    y = jax.scipy.linalg.solve_triangular(L, v[..., None], lower=True)
+    z = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False)
+    return z[..., 0]
+
+
+@partial(jax.jit, static_argnames=("matvec", "precond", "max_iters"))
+def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable,
+        rtol, max_iters: int = 100, x0=None) -> PCGResult:
+    """Preconditioned CG for ``S x = b`` with S SPD, matrix-free.
+
+    ``b``/``x`` have shape (ncams, 9); inner products run over all entries.
+    Stops when ``||r|| <= rtol * ||b||`` or after ``max_iters`` matvecs
+    (static bound — the whole loop stays on device inside one XLA while).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    bnorm = jnp.sqrt(dot(b, b))
+    # Guard: a zero RHS means the zero step is exact.
+    bnorm_safe = jnp.where(bnorm == 0.0, 1.0, bnorm)
+    tol = rtol * bnorm_safe
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    state0 = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32))
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        return jnp.logical_and(it < max_iters,
+                               jnp.sqrt(dot(r, r)) > tol)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Sp = matvec(p)
+        pSp = dot(p, Sp)
+        # Guard against breakdown (pSp <= 0 on near-singular systems).
+        alpha = jnp.where(pSp > 0.0, rz / pSp, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state0)
+    return PCGResult(x=x, iters=it,
+                     rel_res=jnp.sqrt(dot(r, r)) / bnorm_safe)
+
+
+def forcing_rtol(grad_norm: jnp.ndarray, floor=1e-10, cap=1e-2):
+    """Eisenstat-Walker-style forcing term: tighter as the gradient shrinks.
+
+    eta = clip(sqrt(||g||), floor, cap) relative tolerance; keeps early LM
+    iterations cheap while recovering near-direct accuracy at convergence.
+    """
+    return jnp.clip(jnp.sqrt(grad_norm), floor, cap)

@@ -1,0 +1,147 @@
+"""Schur-complement elimination of the 3D points.
+
+Replaces the reference's general sparse factorizations — SPQR of
+``[J; sqrt(lambda) I]`` (`/root/reference/src/qr_aux.jl`) and LDL^T of the
+augmented SQD system (`src/ldl_aux.jl`) — with the structural ordering BA
+actually has: points eliminated first. Eliminating the 3x3 point blocks of
+the damped normal equations
+
+    [[Hcc_l, W], [W', Hpp_l]] [dc; dp] = -[g_c; g_p]      (Hxx_l = Hxx + lambda I)
+
+gives the *reduced camera system*
+
+    S dc = b,  S = Hcc_l - W Hpp_l^{-1} W',  b = -g_c + W Hpp_l^{-1} g_p
+    dp = -Hpp_l^{-1} (g_p + W' dc)
+
+``S`` is never materialized on the large path: `schur_matvec` applies it
+matrix-free as two gathers + two batched 9x3 block products + two
+segment_sums — O(nobs*54) FLOPs, fully fused by XLA and shardable along the
+observation axis (the structure AMD/METIS discover numerically in the
+reference, SURVEY.md §2.2, is explicit here). A dense assembly path
+(`assemble_dense_schur`) exists for small camera counts and for tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_jl_tpu.models.problem import BAProblem
+from bundleadjustment_jl_tpu.ops.normal import GNBlocks, damp, inv3x3
+
+
+class SchurSystem(NamedTuple):
+    """The damped, point-eliminated camera system at a given lambda."""
+    Hcc_l: jnp.ndarray     # (ncams, 9, 9) damped camera diagonal blocks
+    Hpp_inv: jnp.ndarray   # (npnts, 3, 3) inverse damped point blocks
+    W: jnp.ndarray         # (nobs_pad, 9, 3)
+    b: jnp.ndarray         # (ncams, 9) reduced RHS
+    g_p: jnp.ndarray       # (npnts, 3) point gradient (for back-substitution)
+    cam_idx: jnp.ndarray
+    pnt_idx: jnp.ndarray
+
+
+def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
+    """Damp with ``lambda`` and form the reduced camera RHS."""
+    Hcc_l = damp(blocks.Hcc, lam)
+    Hpp_inv = inv3x3(damp(blocks.Hpp, lam))
+    ci, pi = problem.cam_idx, problem.pnt_idx
+    # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
+    tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
+    corr = jax.ops.segment_sum(
+        jnp.einsum("kab,kb->ka", blocks.W, tmp[pi]),
+        ci, num_segments=problem.ncams)
+    b = -blocks.g_c + corr
+    return SchurSystem(Hcc_l=Hcc_l, Hpp_inv=Hpp_inv, W=blocks.W, b=b,
+                       g_p=blocks.g_p, cam_idx=ci, pnt_idx=pi)
+
+
+def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
+    npnts = sys.Hpp_inv.shape[0]
+    ncams = sys.Hcc_l.shape[0]
+    u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
+    # W' v, accumulated per point
+    t = jax.ops.segment_sum(
+        jnp.einsum("kab,ka->kb", sys.W, v[sys.cam_idx]),
+        sys.pnt_idx, num_segments=npnts)                         # (npnts,3)
+    t = jnp.einsum("pab,pb->pa", sys.Hpp_inv, t)
+    u2 = jax.ops.segment_sum(
+        jnp.einsum("kab,kb->ka", sys.W, t[sys.pnt_idx]),
+        sys.cam_idx, num_segments=ncams)
+    return u - u2
+
+
+def schur_diag_blocks(sys: SchurSystem) -> jnp.ndarray:
+    """Exact diagonal 9x9 blocks of S (for the block-Jacobi preconditioner).
+
+    ``S_ii = Hcc_l[i] - sum_{k: cam(k)=i} W_k Hpp_inv[pnt(k)] W_k'`` — exact
+    because each (cam, pnt) pair appears in one observation, so off-diagonal
+    point couplings never land on the diagonal.
+    """
+    ncams = sys.Hcc_l.shape[0]
+    WCW = jnp.einsum("kab,kbc,kdc->kad",
+                     sys.W, sys.Hpp_inv[sys.pnt_idx], sys.W)
+    return sys.Hcc_l - jax.ops.segment_sum(
+        WCW, sys.cam_idx, num_segments=ncams)
+
+
+def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
+    """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
+    npnts = sys.Hpp_inv.shape[0]
+    t = jax.ops.segment_sum(
+        jnp.einsum("kab,ka->kb", sys.W, dc[sys.cam_idx]),
+        sys.pnt_idx, num_segments=npnts)
+    return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
+
+
+def predicted_reduction(problem: BAProblem, blocks: GNBlocks,
+                        dc: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
+    """Gauss-Newton predicted decrease ``obj - 0.5 ||J d + r||^2``.
+
+    Computed exactly from the block Jacobians:
+    ``pred = -(g' d) - 0.5 ||J d||^2`` with
+    ``J d`` evaluated per observation as ``Jc dc[cam] + Jp dp[pnt]``
+    (the reference reads this off the LDL solution block, `src/lm.jl:227-229`).
+    """
+    gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
+    Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
+          + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
+    return -gd - 0.5 * jnp.sum(Jd * Jd)
+
+
+# ---------------------------------------------------------------------------
+# Dense path (small ncams; tests and direct solves)
+# ---------------------------------------------------------------------------
+
+def assemble_dense_schur(sys: SchurSystem) -> jnp.ndarray:
+    """Materialize S as a dense (9*ncams, 9*ncams) matrix.
+
+    Scatters the per-observation ``Y_k = W_k Hpp_inv[pnt(k)]`` blocks into a
+    dense (ncams*9, npnts*3) matrix then contracts on the MXU. Memory is
+    O(ncams*npnts*27) — intended for small/medium problems where a direct
+    Cholesky beats PCG, and as the oracle for the matrix-free path.
+    """
+    ncams = sys.Hcc_l.shape[0]
+    npnts = sys.Hpp_inv.shape[0]
+    nobs = sys.W.shape[0]
+    Y = jnp.einsum("kab,kbc->kac", sys.W, sys.Hpp_inv[sys.pnt_idx])
+    # Dense U (9c x 3p) and Y_d from block scatters.
+    U = jnp.zeros((ncams, 9, npnts, 3), dtype=sys.W.dtype)
+    U = U.at[sys.cam_idx, :, sys.pnt_idx, :].add(sys.W)
+    Yd = jnp.zeros((ncams, 9, npnts, 3), dtype=sys.W.dtype)
+    Yd = Yd.at[sys.cam_idx, :, sys.pnt_idx, :].add(Y)
+    S = -jnp.einsum("aipc,bjpc->aibj", Yd, U)
+    S = S.at[jnp.arange(ncams), :, jnp.arange(ncams), :].add(sys.Hcc_l)
+    del nobs
+    return S.reshape(9 * ncams, 9 * ncams)
+
+
+def solve_dense(sys: SchurSystem) -> jnp.ndarray:
+    """Direct Cholesky solve of the dense reduced system (small ncams)."""
+    S = assemble_dense_schur(sys)
+    dc = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S, lower=True), sys.b.reshape(-1))
+    return dc.reshape(sys.b.shape)

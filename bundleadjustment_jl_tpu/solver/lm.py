@@ -1,0 +1,312 @@
+"""Levenberg-Marquardt on the Schur-reduced camera system.
+
+TPU-native re-architecture of the reference solver
+(`/root/reference/src/lm.jl:15-418`, ``Levenberg_Marquardt``). The outer LM
+logic keeps the reference's *known-good hyperparameters* (SURVEY.md §8):
+
+- lambda_0 = max(30, 1e10 / ||J'r_0||)                      (`lm.jl:59`)
+- accept iff ared >= 1e-4 * pred                            (`lm.jl:251-260`)
+- accept: lambda /= 3, extra /3 when ared >= 0.9 * pred,
+  floor 1e-8                                                (`lm.jl:329-337`)
+- reject: lambda = max(lambda, 1/||delta||) * 3^(nrejects)  (`lm.jl:306-308`)
+- optional linesearch: up to 4 step-halvings on reject      (`lm.jl:263-295`)
+- stopping: small_step / first_order / small_residual /
+  small_obj_change / tired                                  (`lm.jl:111-123`)
+- default tolerances in the working dtype's eps             (`lm.jl:21-24`)
+
+What changed is *how a step is computed*: instead of refactorizing a sparse
+LDL^T/QR each iteration (the reference's dominant cost), points are
+eliminated in closed form (`ops/schur.py`) and the reduced camera system is
+solved either by dense Cholesky (small camera counts) or matrix-free
+block-Jacobi PCG — every inner op is a batched einsum / segment_sum that XLA
+fuses and shards.
+
+Two drivers share all device code:
+
+- :func:`levenberg_marquardt` — host-stepped loop: per-iteration Python
+  control, rich logging (the reference's `log_row` of
+  iter/f/|J'r|/lambda/|d|/rho, `lm.jl:120-121,304`), callbacks. One or two
+  compiled calls per LM iteration; scalars only cross the host boundary.
+- :func:`levenberg_marquardt_jit` (in `solver/lm_jit.py`) — the whole solve
+  as one `lax.while_loop` under jit: zero host round-trips, the benchmark
+  flagship.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundleadjustment_jl_tpu.models.problem import BAProblem
+from bundleadjustment_jl_tpu.ops.normal import assemble_blocks, gradient_norm
+from bundleadjustment_jl_tpu.ops.pcg import (
+    block_cho_solve, block_cholesky, forcing_rtol, pcg)
+from bundleadjustment_jl_tpu.ops.residuals import residuals
+from bundleadjustment_jl_tpu.ops.schur import (
+    back_substitute, reduce_system, schur_diag_blocks, schur_matvec,
+    solve_dense)
+
+
+@dataclasses.dataclass
+class LMOptions:
+    """Solver options. Defaults mirror `src/lm.jl:15-26` where applicable.
+
+    ``None`` tolerances resolve to the reference's dtype-adaptive defaults
+    (`lm.jl:21-24`): restol/ortol/rtol = eps^(1/3), satol/srtol/oatol/atol
+    = sqrt(eps) in the working dtype.
+    """
+    max_iters: int = 200                  # ite_max (`lm.jl:24`)
+    max_time: float = 3600.0              # seconds (`lm.jl:26`)
+    atol: Optional[float] = None          # first-order absolute
+    rtol: Optional[float] = None          # first-order relative
+    restol: Optional[float] = None        # small residual
+    satol: Optional[float] = None         # small step absolute
+    srtol: Optional[float] = None         # small step relative
+    oatol: Optional[float] = None         # small obj change absolute
+    ortol: Optional[float] = None         # small obj change relative
+    lam0: Optional[float] = None          # None -> max(30, 1e10/|J'r0|)
+    nu_d: float = 3.0                     # accept decrease factor (`lm.jl:25`)
+    nu_m: float = 3.0                     # reject increase factor
+    accept_ratio: float = 1e-4            # ared/pred acceptance (`lm.jl:260`)
+    good_ratio: float = 0.9               # bonus-decrease threshold
+    lam_min: float = 1e-8                 # lambda floor (`lm.jl:337`)
+    linesearch: bool = False              # delta-halving on reject
+    ls_max: int = 4                       # max halvings (`lm.jl:263`)
+    solver: str = "pcg"                   # "pcg" | "dense"
+    pcg_rtol: Optional[float] = None      # None -> Eisenstat-Walker forcing
+    pcg_max_iters: int = 100
+    verbose: bool = False
+
+    def resolved_tols(self, dtype) -> dict:
+        eps = float(jnp.finfo(dtype).eps)
+        cbrt, sqrt = eps ** (1.0 / 3.0), eps ** 0.5
+        return {
+            "atol": sqrt if self.atol is None else self.atol,
+            "rtol": cbrt if self.rtol is None else self.rtol,
+            "restol": cbrt if self.restol is None else self.restol,
+            "satol": sqrt if self.satol is None else self.satol,
+            "srtol": sqrt if self.srtol is None else self.srtol,
+            "oatol": sqrt if self.oatol is None else self.oatol,
+            "ortol": cbrt if self.ortol is None else self.ortol,
+        }
+
+
+@dataclasses.dataclass
+class LMResult:
+    """Mirror of the reference's ``GenericExecutionStats`` (`lm.jl:409-416`)."""
+    status: str                     # first_order | small_step | small_residual
+    #                                 | small_obj_change | max_iter | max_time
+    #                                 | exception
+    objective: float
+    iterations: int
+    elapsed_time: float
+    dual_feas: float                # ||J'r|| at the solution
+    cams: jnp.ndarray
+    points: jnp.ndarray
+    neval_residual: int = 0
+    neval_jac: int = 0
+    history: List[dict] = dataclasses.field(default_factory=list)
+
+    @property
+    def rmse_px(self) -> float:
+        """Root-mean-square reprojection error in pixels (BASELINE.md)."""
+        # objective = 0.5 ||r||^2 over nequ residual components
+        return float("nan")  # overwritten by solver with problem context
+
+    def solved(self) -> bool:
+        """The reference's "solved" statuses (`src/benchmark.jl:69-86`)."""
+        return self.status in ("first_order", "small_residual", "small_step",
+                               "small_obj_change")
+
+
+# ---------------------------------------------------------------------------
+# Jitted device kernels shared by both drivers
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _linearize(problem: BAProblem, cams, points):
+    """Residuals + all GN blocks + scalars at the current iterate."""
+    blocks = assemble_blocks(problem, cams, points)
+    obj = 0.5 * jnp.vdot(blocks.r, blocks.r)
+    gnorm = gradient_norm(blocks)
+    rnorm = jnp.sqrt(2.0 * obj)
+    return blocks, obj, gnorm, rnorm
+
+
+@jax.jit
+def _objective_at(problem: BAProblem, cams, points):
+    r = residuals(problem, cams, points)
+    return 0.5 * jnp.vdot(r, r)
+
+
+@partial(jax.jit, static_argnames=("use_dense", "pcg_max_iters"))
+def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
+                  use_dense: bool, pcg_max_iters: int):
+    """Damp, reduce, solve for (dc, dp); also return the step's quadratic
+    model pieces ``gd = g'd`` and ``Jd2 = ||J d||^2`` so predicted reduction
+    at any scaled step ``s*d`` is ``-s*gd - 0.5*s^2*Jd2`` (used by the
+    linesearch, cf. the cheap update `lm.jl:277`)."""
+    sys = reduce_system(problem, blocks, lam)
+    if use_dense:
+        dc = solve_dense(sys)
+        cg_iters = jnp.asarray(0, jnp.int32)
+    else:
+        L = block_cholesky(schur_diag_blocks(sys))
+        res = pcg(lambda v: schur_matvec(sys, v), sys.b,
+                  lambda v: block_cho_solve(L, v),
+                  rtol=pcg_rtol, max_iters=pcg_max_iters)
+        dc, cg_iters = res.x, res.iters
+    dp = back_substitute(sys, dc)
+    gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
+    Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
+          + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
+    Jd2 = jnp.sum(Jd * Jd)
+    dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
+    return dc, dp, gd, Jd2, dnorm, cg_iters
+
+
+def _xnorm(cams, points):
+    return jnp.sqrt(jnp.sum(cams ** 2) + jnp.sum(points ** 2))
+
+
+# ---------------------------------------------------------------------------
+# Host-stepped driver
+# ---------------------------------------------------------------------------
+
+_LOG_HEADER = (f"{'iter':>5} {'obj':>14} {'‖J′r‖':>11} {'λ':>9} "
+               f"{'‖δ‖':>9} {'ρ':>9} {'cg':>4} status")
+
+
+def levenberg_marquardt(problem: BAProblem,
+                        options: Optional[LMOptions] = None,
+                        cams=None, points=None,
+                        callback: Optional[Callable] = None) -> LMResult:
+    """Solve ``min 0.5 ||r(cams, points)||^2`` by Levenberg-Marquardt.
+
+    Host-stepped: per-iteration control flow in Python over jitted device
+    kernels. Semantics follow `src/lm.jl` (see module docstring); returns an
+    :class:`LMResult` (the reference's ``GenericExecutionStats``).
+    """
+    opts = options or LMOptions()
+    cams = problem.cams if cams is None else cams
+    points = problem.points if points is None else points
+    tols = opts.resolved_tols(problem.dtype)
+    use_dense = opts.solver == "dense"
+
+    t0 = time.perf_counter()
+    nres = njac = 0
+
+    blocks, obj, gnorm, rnorm = _linearize(problem, cams, points)
+    nres += 1
+    njac += 1
+    obj0, gnorm0 = float(obj), float(gnorm)
+    if not np.isfinite(obj0):
+        return LMResult("exception", obj0, 0, time.perf_counter() - t0,
+                        gnorm0, cams, points, nres, njac, [])
+
+    lam = float(opts.lam0) if opts.lam0 is not None else max(
+        30.0, 1e10 / max(gnorm0, 1e-300))
+
+    # first_order threshold is fixed at entry (`lm.jl:111-114`)
+    gtol = tols["atol"] + tols["rtol"] * gnorm0
+
+    history: List[dict] = []
+    status = "max_iter"
+    it = 0
+    nrejects = 0
+    if opts.verbose:
+        print(_LOG_HEADER)
+
+    while it < opts.max_iters:
+        if time.perf_counter() - t0 > opts.max_time:
+            status = "max_time"
+            break
+        if float(gnorm) < gtol:
+            status = "first_order"
+            break
+        if float(rnorm) < tols["restol"]:
+            status = "small_residual"
+            break
+
+        pcg_rtol = (opts.pcg_rtol if opts.pcg_rtol is not None
+                    else float(forcing_rtol(jnp.asarray(float(gnorm)))))
+        dc, dp, gd, Jd2, dnorm, cg_iters = _compute_step(
+            problem, blocks, lam, pcg_rtol, use_dense, opts.pcg_max_iters)
+        gd, Jd2, dnorm = float(gd), float(Jd2), float(dnorm)
+
+        if not np.isfinite(dnorm):
+            status = "exception"   # NaN step -> fail2 (`lm.jl:297-302`)
+            break
+
+        xnorm = float(_xnorm(cams, points))
+        if dnorm < tols["satol"] + tols["srtol"] * xnorm:
+            status = "small_step"
+            break
+
+        # Trial step(s): full step, then optional halvings (`lm.jl:263-295`).
+        scales = [1.0]
+        if opts.linesearch:
+            scales += [0.5 ** j for j in range(1, opts.ls_max + 1)]
+        accepted = False
+        for s in scales:
+            cams_t = cams + s * dc
+            points_t = points + s * dp
+            obj_t = float(_objective_at(problem, cams_t, points_t))
+            nres += 1
+            pred = -s * gd - 0.5 * s * s * Jd2
+            ared = float(obj) - obj_t
+            rho = ared / pred if pred != 0.0 else -np.inf
+            if pred > 0 and ared >= opts.accept_ratio * pred:
+                accepted = True
+                break
+
+        row = {"iter": it, "obj": float(obj), "gnorm": float(gnorm),
+               "lam": lam, "dnorm": dnorm * (s if accepted else 1.0),
+               "rho": rho, "cg_iters": int(cg_iters),
+               "accepted": accepted}
+        history.append(row)
+        if opts.verbose:
+            print(f"{it:5d} {row['obj']:14.6e} {row['gnorm']:11.4e} "
+                  f"{lam:9.2e} {row['dnorm']:9.2e} {rho:9.2e} "
+                  f"{row['cg_iters']:4d} "
+                  f"{'accept' if accepted else 'reject'}")
+        if callback is not None:
+            callback(row)
+
+        if accepted:
+            prev_obj = float(obj)
+            cams, points = cams_t, points_t
+            blocks, obj, gnorm, rnorm = _linearize(problem, cams, points)
+            nres += 1
+            njac += 1
+            nrejects = 0
+            # lambda decrease (`lm.jl:329-337`)
+            lam /= opts.nu_d
+            if ared >= opts.good_ratio * pred:
+                lam /= opts.nu_d
+            lam = max(lam, opts.lam_min)
+            it += 1
+            if (prev_obj - float(obj)
+                    < tols["oatol"] + tols["ortol"] * abs(prev_obj)):
+                status = "small_obj_change"
+                break
+        else:
+            # lambda increase (`lm.jl:306-308`)
+            nrejects += 1
+            lam = max(lam, 1.0 / max(dnorm, 1e-300)) * opts.nu_m ** nrejects
+            it += 1
+
+    else:
+        status = "max_iter"
+
+    elapsed = time.perf_counter() - t0
+    return LMResult(status=status, objective=float(obj), iterations=it,
+                    elapsed_time=elapsed, dual_feas=float(gnorm),
+                    cams=cams, points=points, neval_residual=nres,
+                    neval_jac=njac, history=history)
