@@ -1,0 +1,4 @@
+from bundleadjustment_jl_tpu.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

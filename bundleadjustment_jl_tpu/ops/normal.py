@@ -76,8 +76,12 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     """Batched closed-form (adjugate) inverse of 3x3 SPD blocks.
 
     Faster than a general LU on TPU and stable for the damped point blocks
-    ``Hpp + lambda I`` (lambda >= 1e-8, `src/lm.jl:337`).
+    ``Hpp + lambda I`` (lambda >= 1e-8, `src/lm.jl:337`). Half precisions
+    compute in f32 and cast back (determinant products underflow in bf16).
     """
+    dt = M.dtype
+    if dt in (jnp.bfloat16, jnp.float16):
+        return inv3x3(M.astype(jnp.float32)).astype(dt)
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]

@@ -31,17 +31,30 @@ class PCGResult(NamedTuple):
     rel_res: jnp.ndarray    # scalar, final ||Sx-b|| / ||b||
 
 
+def _factor_dtype(dtype):
+    """Half precisions factor in f32 (mirrors MXU f32 accumulation; LAPACK
+    has no half-precision kernels on CPU either)."""
+    if dtype in (jnp.bfloat16, jnp.float16):
+        return jnp.float32
+    return dtype
+
+
 def block_cholesky(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Batched Cholesky of SPD preconditioner blocks (ncams, 9, 9)."""
-    return jnp.linalg.cholesky(blocks)
+    """Batched Cholesky of SPD preconditioner blocks (ncams, 9, 9).
+
+    Half-precision inputs are factored in f32 (factors stay f32 — the
+    preconditioner apply is where the accuracy matters).
+    """
+    return jnp.linalg.cholesky(blocks.astype(_factor_dtype(blocks.dtype)))
 
 
 def block_cho_solve(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Apply M^{-1} via the batched Cholesky factors: v is (ncams, 9)."""
-    y = jax.scipy.linalg.solve_triangular(L, v[..., None], lower=True)
+    y = jax.scipy.linalg.solve_triangular(
+        L, v.astype(L.dtype)[..., None], lower=True)
     z = jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(L, -1, -2), y, lower=False)
-    return z[..., 0]
+    return z[..., 0].astype(v.dtype)
 
 
 @partial(jax.jit, static_argnames=("matvec", "precond", "max_iters"))

@@ -140,8 +140,15 @@ def assemble_dense_schur(sys: SchurSystem) -> jnp.ndarray:
 
 
 def solve_dense(sys: SchurSystem) -> jnp.ndarray:
-    """Direct Cholesky solve of the dense reduced system (small ncams)."""
+    """Direct Cholesky solve of the dense reduced system (small ncams).
+
+    Half precisions factor in f32 (TPU MXU accumulation dtype; CPU LAPACK
+    has no half kernels).
+    """
     S = assemble_dense_schur(sys)
+    dt = S.dtype
+    fdt = jnp.float32 if dt in (jnp.bfloat16, jnp.float16) else dt
     dc = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(S, lower=True), sys.b.reshape(-1))
-    return dc.reshape(sys.b.shape)
+        jax.scipy.linalg.cho_factor(S.astype(fdt), lower=True),
+        sys.b.reshape(-1).astype(fdt))
+    return dc.reshape(sys.b.shape).astype(dt)

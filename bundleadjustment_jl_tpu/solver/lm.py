@@ -70,7 +70,10 @@ class LMOptions:
     srtol: Optional[float] = None         # small step relative
     oatol: Optional[float] = None         # small obj change absolute
     ortol: Optional[float] = None         # small obj change relative
-    lam0: Optional[float] = None          # None -> max(30, 1e10/|J'r0|)
+    lam0: Optional[float] = None          # None -> lam0_mode heuristic
+    lam0_mode: str = "ref"                # "ref": max(30, 1e10/|J'r0|)
+    #                                       (`lm.jl:59`); "diag": 1e-3*max
+    #                                       diag(J'J) (Madsen-Nielsen)
     nu_d: float = 3.0                     # accept decrease factor (`lm.jl:25`)
     nu_m: float = 3.0                     # reject increase factor
     accept_ratio: float = 1e-4            # ared/pred acceptance (`lm.jl:260`)
@@ -210,8 +213,15 @@ def levenberg_marquardt(problem: BAProblem,
         return LMResult("exception", obj0, 0, time.perf_counter() - t0,
                         gnorm0, cams, points, nres, njac, [])
 
-    lam = float(opts.lam0) if opts.lam0 is not None else max(
-        30.0, 1e10 / max(gnorm0, 1e-300))
+    if opts.lam0 is not None:
+        lam = float(opts.lam0)
+    elif opts.lam0_mode == "diag":
+        maxdiag = float(jnp.maximum(
+            jnp.max(jnp.einsum("caa->ca", blocks.Hcc)),
+            jnp.max(jnp.einsum("paa->pa", blocks.Hpp))))
+        lam = 1e-3 * maxdiag
+    else:
+        lam = max(30.0, 1e10 / max(gnorm0, 1e-300))
 
     # first_order threshold is fixed at entry (`lm.jl:111-114`)
     gtol = tols["atol"] + tols["rtol"] * gnorm0

@@ -1,0 +1,87 @@
+"""Benchmark harness + precision-cascade tests (reference L6 parity)."""
+
+import os
+
+import numpy as np
+
+from bundleadjustment_jl_tpu.benchmark.precision import precision_cascade
+from bundleadjustment_jl_tpu.benchmark.problems import (
+    BAL_SIZES, synthetic_suite)
+from bundleadjustment_jl_tpu.benchmark.runner import (
+    latex_table, load_stats, markdown_table, performance_profile,
+    run_campaign, save_stats)
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
+from bundleadjustment_jl_tpu.solver.lm import LMOptions, levenberg_marquardt
+from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
+
+
+def _tiny_problems():
+    for seed in (31, 32):
+        p, _ = synthetic_bal(ncams=5, npnts=30, obs_per_pnt=3,
+                             noise_px=0.3, perturb=2e-3, seed=seed)
+        yield f"tiny-{seed}", p
+
+
+def test_campaign_tables_and_profiles(tmp_path):
+    solvers = {
+        "lm_pcg": lambda p: levenberg_marquardt(
+            p, LMOptions(solver="pcg", max_iters=40, pcg_max_iters=100)),
+        "lm_dense_ls": lambda p: levenberg_marquardt(
+            p, LMOptions(solver="dense", max_iters=40, linesearch=True)),
+    }
+    rows = run_campaign(solvers, _tiny_problems(), logger=lambda s: None)
+    assert len(rows) == 4
+    assert all(r["status"] != "exception" for r in rows)
+
+    md = markdown_table(rows)
+    assert md.count("\n") == len(rows) + 1
+    tex = latex_table(rows)
+    assert tex.startswith(r"\begin{tabular}")
+
+    stats_path = str(tmp_path / "stats.jsonl")
+    save_stats(rows, stats_path)
+    assert load_stats(stats_path) == rows
+
+    pdf = str(tmp_path / "profile.pdf")
+    taus, profile = performance_profile(rows, "elapsed_s", out_path=pdf)
+    assert os.path.exists(pdf)
+    for frac in profile.values():
+        assert frac[-1] >= 0.0 and frac[-1] <= 1.0
+
+
+def test_campaign_records_exceptions():
+    def boom(problem):
+        raise RuntimeError("synthetic failure")
+
+    rows = run_campaign({"bad": boom}, _tiny_problems(),
+                        logger=lambda s: None)
+    assert all(r["status"] == "exception" for r in rows)
+    assert all("error" in r for r in rows)
+
+
+def test_synthetic_suite_sizes():
+    names = []
+    for name, p in synthetic_suite(max_nobs=50_000):
+        names.append(name)
+        match = [s for s in BAL_SIZES if f"{s[1]}-{s[2]}" in name]
+        assert match, name
+        _, ncams, npnts, _ = match[0]
+        assert p.ncams == ncams and p.npnts == npnts
+    assert names == ["LadyBug-49-7776-synth", "LadyBug-73-11032-synth"]
+
+
+def test_precision_cascade_improves_through_stages():
+    problem, _ = synthetic_bal(ncams=8, npnts=60, obs_per_pnt=3,
+                               noise_px=0.3, perturb=1e-2, seed=40)
+    rows = precision_cascade(problem,
+                             stages=("bfloat16", "float32", "float64"),
+                             max_iters=40, satol=0.0, srtol=0.0,
+                             lam0_mode="diag")
+    assert [r["stage"] for r in rows] == ["bfloat16", "float32", "float64"]
+    # each stage must not be (much) worse than the one before, and the final
+    # f64 stage must reach the quality of a straight f64 solve
+    straight = levenberg_marquardt_jit(problem, max_iters=60,
+                                       lam0_mode="diag")
+    assert rows[-1]["objective"] <= float(straight.objective) * 1.05
+    assert "cams" in rows[-1] and "points" in rows[-1]
+    assert np.asarray(rows[-1]["cams"]).dtype == np.float64
