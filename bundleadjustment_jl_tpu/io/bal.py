@@ -28,10 +28,11 @@ import numpy as np
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 
-try:  # optional fast C++ parser (bundleadjustment_jl_tpu/native)
-    from bundleadjustment_jl_tpu.io.native import parse_bal_native
-except Exception:  # pragma: no cover - native lib not built
+try:  # fast C++ parser (csrc/bal_parser.cpp, built lazily by io/native.py)
+    from bundleadjustment_jl_tpu.io.native import NATIVE_BZ2, parse_bal_native
+except Exception:  # pragma: no cover - toolchain unavailable
     parse_bal_native = None
+    NATIVE_BZ2 = False
 
 
 def _open_text(path: str):
@@ -64,7 +65,8 @@ def _read_raw(path: str):
 def read_bal(path: str, dtype=np.float64, pad_obs_to: int = 128,
              name: str | None = None) -> BAProblem:
     """Read a BAL ``.txt`` / ``.txt.bz2`` file into a :class:`BAProblem`."""
-    if parse_bal_native is not None and not path.endswith(".bz2"):
+    if parse_bal_native is not None and (NATIVE_BZ2
+                                         or not path.endswith(".bz2")):
         cam_idx, pnt_idx, pt2d, cams_file, points = parse_bal_native(path)
     else:
         cam_idx, pnt_idx, pt2d, cams_file, points = _read_raw(path)

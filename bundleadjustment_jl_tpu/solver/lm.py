@@ -85,6 +85,9 @@ class LMOptions:
     pcg_rtol: Optional[float] = None      # None -> Eisenstat-Walker forcing
     pcg_max_iters: int = 100
     verbose: bool = False
+    checkpoint_dir: Optional[str] = None  # rotate step-<n>.npz checkpoints
+    checkpoint_every: int = 10
+    resume: bool = False                  # restore latest checkpoint first
 
     def resolved_tols(self, dtype) -> dict:
         eps = float(jnp.finfo(dtype).eps)
@@ -202,6 +205,21 @@ def levenberg_marquardt(problem: BAProblem,
     tols = opts.resolved_tols(problem.dtype)
     use_dense = opts.solver == "dense"
 
+    ckpt_mgr = None
+    resume_lam = None
+    it0 = 0
+    if opts.checkpoint_dir is not None:
+        from bundleadjustment_jl_tpu.utils.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(opts.checkpoint_dir,
+                                     every=opts.checkpoint_every)
+        if opts.resume:
+            state = ckpt_mgr.restore_latest()
+            if state is not None:
+                cams = jnp.asarray(state["cams"], problem.dtype)
+                points = jnp.asarray(state["points"], problem.dtype)
+                resume_lam = state["lam"]
+                it0 = state["iteration"]
+
     t0 = time.perf_counter()
     nres = njac = 0
 
@@ -213,7 +231,9 @@ def levenberg_marquardt(problem: BAProblem,
         return LMResult("exception", obj0, 0, time.perf_counter() - t0,
                         gnorm0, cams, points, nres, njac, [])
 
-    if opts.lam0 is not None:
+    if resume_lam is not None:
+        lam = resume_lam
+    elif opts.lam0 is not None:
         lam = float(opts.lam0)
     elif opts.lam0_mode == "diag":
         maxdiag = float(jnp.maximum(
@@ -228,7 +248,7 @@ def levenberg_marquardt(problem: BAProblem,
 
     history: List[dict] = []
     status = "max_iter"
-    it = 0
+    it = it0
     nrejects = 0
     if opts.verbose:
         print(_LOG_HEADER)
@@ -302,6 +322,10 @@ def levenberg_marquardt(problem: BAProblem,
                 lam /= opts.nu_d
             lam = max(lam, opts.lam_min)
             it += 1
+            if ckpt_mgr is not None:
+                ckpt_mgr.maybe_save(it, cams, points, lam=lam,
+                                    meta={"objective": float(obj),
+                                          "problem": problem.name})
             if (prev_obj - float(obj)
                     < tols["oatol"] + tols["ortol"] * abs(prev_obj)):
                 status = "small_obj_change"
