@@ -47,18 +47,20 @@ def main():
         lam0_mode="diag", satol=0.0, srtol=0.0,
         atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
 
-    # Warm-up on a same-shape problem: XLA compiles once per shape.
+    # Warm-up on a same-shape problem: XLA compiles once per shape. NB: on
+    # the remote-TPU tunnel backend `block_until_ready` does NOT wait for
+    # execution — only a device->host fetch does — so all timing brackets a
+    # scalar fetch.
     warm = solve(make(seed=1))
-    jax.block_until_ready(warm)
+    float(warm.objective)
 
     problem = make(seed=0)
     t0 = time.perf_counter()
     res = solve(problem)
-    jax.block_until_ready(res)
+    obj = float(res.objective)
     elapsed = time.perf_counter() - t0
 
     nequ = 2 * problem.nobs
-    obj = float(res.objective)
     print(json.dumps({
         "metric": "ladybug49_synth_lm_solve",
         "value": round(elapsed, 4),

@@ -21,6 +21,16 @@ import numpy as np
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 
 
+def _cross_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise 3D cross product (np.cross is pathologically slow on some
+    numpy builds — 7+ s for 500k rows)."""
+    return np.stack([
+        a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+        a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+        a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
+    ], axis=1)
+
+
 def _project_np(cams: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Vectorized numpy twin of models.camera.project (host-side oracle)."""
     r = cams[:, 0:3]
@@ -32,7 +42,7 @@ def _project_np(cams: np.ndarray, points: np.ndarray) -> np.ndarray:
     c = np.cos(theta)
     s = np.sin(theta)
     kdX = np.sum(k * points, axis=1, keepdims=True)
-    p1 = c * points + s * np.cross(k, points) + (1 - c) * kdX * k + t
+    p1 = c * points + s * _cross_rows(k, points) + (1 - c) * kdX * k + t
     p2 = -p1[:, 0:2] / p1[:, 2:3]
     n2 = np.sum(p2 * p2, axis=1)
     rho = 1.0 + k1 * n2 + k2 * n2 * n2
@@ -68,20 +78,39 @@ def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
     # Observations: each point seen by `obs_per_pnt` distinct cameras, every
     # (cam, pnt) pair unique (a BAL invariant that `ops.schur` exploits for
     # the exact block-Jacobi preconditioner). Every camera is guaranteed at
-    # least one observation by forcing camera ``p % ncams`` into point p's
-    # camera set for the first ncams points.
+    # least one observation by forcing camera ``p`` into point p's camera
+    # set for the first ncams points. Sampling is vectorized: draw all rows
+    # at once, then re-roll rows containing duplicates (geometric
+    # convergence for obs_per_pnt << ncams; exact per-row sampling when the
+    # ratio is too high for rejection to converge quickly).
     pnt_idx = np.repeat(np.arange(npnts), obs_per_pnt)
-    cam_idx = np.empty(npnts * obs_per_pnt, dtype=np.int64)
-    for p in range(npnts):
-        sl = slice(p * obs_per_pnt, (p + 1) * obs_per_pnt)
-        if p < ncams:
-            forced = p % ncams
-            others = rng.choice(
-                np.delete(np.arange(ncams), forced),
-                size=obs_per_pnt - 1, replace=False)
-            cam_idx[sl] = np.concatenate([[forced], others])
-        else:
-            cam_idx[sl] = rng.choice(ncams, size=obs_per_pnt, replace=False)
+    k = obs_per_pnt
+    if k > ncams // 2 or ncams <= 8:
+        cam_rows = np.empty((npnts, k), dtype=np.int64)
+        for p in range(npnts):
+            cam_rows[p] = rng.choice(ncams, size=k, replace=False)
+    else:
+        cam_rows = rng.integers(0, ncams, size=(npnts, k))
+        while True:
+            s = np.sort(cam_rows, axis=1)
+            dup = (s[:, 1:] == s[:, :-1]).any(axis=1)
+            if not dup.any():
+                break
+            cam_rows[dup] = rng.integers(0, ncams, size=(int(dup.sum()), k))
+    # Coverage: force camera p into row p (re-sampling row p's remaining
+    # slots whenever the forced camera collides).
+    n_forced = min(ncams, npnts)
+    cam_rows[:n_forced, 0] = np.arange(n_forced)
+    while True:
+        head = cam_rows[:n_forced]
+        s = np.sort(head, axis=1)
+        dup = (s[:, 1:] == s[:, :-1]).any(axis=1)
+        if not dup.any():
+            break
+        rows = np.flatnonzero(dup)
+        cam_rows[rows, 1:] = rng.integers(0, ncams,
+                                          size=(rows.size, k - 1))
+    cam_idx = cam_rows.reshape(-1)
 
     proj = _project_np(cams[cam_idx], points[pnt_idx])
     pt2d = proj + rng.normal(scale=noise_px, size=proj.shape)

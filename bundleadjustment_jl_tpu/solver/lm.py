@@ -79,6 +79,16 @@ class LMOptions:
     accept_ratio: float = 1e-4            # ared/pred acceptance (`lm.jl:260`)
     good_ratio: float = 0.9               # bonus-decrease threshold
     lam_min: float = 1e-8                 # lambda floor (`lm.jl:337`)
+    lam_strategy: str = "ref"             # "ref": the reference's nu_d/nu_m
+    #                                       schedule (`lm.jl:306-337`);
+    #                                       "nielsen": Madsen-Nielsen-
+    #                                       Tingleff gain-ratio-smoothed
+    #                                       updates (accept: lam *=
+    #                                       max(1/3, 1-(2rho-1)^3); reject:
+    #                                       lam *= nu, nu *= 2) — avoids the
+    #                                       accept/reject oscillation the
+    #                                       ref schedule exhibits near
+    #                                       convergence
     linesearch: bool = False              # delta-halving on reject
     ls_max: int = 4                       # max halvings (`lm.jl:263`)
     solver: str = "pcg"                   # "pcg" | "dense"
@@ -250,6 +260,7 @@ def levenberg_marquardt(problem: BAProblem,
     status = "max_iter"
     it = it0
     nrejects = 0
+    nu = 2.0  # Nielsen reject-growth factor
     if opts.verbose:
         print(_LOG_HEADER)
 
@@ -271,8 +282,25 @@ def levenberg_marquardt(problem: BAProblem,
         gd, Jd2, dnorm = float(gd), float(Jd2), float(dnorm)
 
         if not np.isfinite(dnorm):
-            status = "exception"   # NaN step -> fail2 (`lm.jl:297-302`)
-            break
+            # NaN step (near-indefinite system at small lambda in low
+            # precision): reject and grow lambda instead of the reference's
+            # immediate fail2 (`lm.jl:297-302`); terminate only if lambda
+            # is already hopeless.
+            if lam > 1e20:
+                status = "exception"
+                break
+            nrejects += 1
+            if opts.lam_strategy == "nielsen":
+                lam *= nu
+                nu *= 2.0
+            else:
+                lam = lam * opts.nu_m ** nrejects
+            it += 1
+            history.append({"iter": it - 1, "obj": float(obj),
+                            "gnorm": float(gnorm), "lam": lam,
+                            "dnorm": float("nan"), "rho": float("nan"),
+                            "cg_iters": int(cg_iters), "accepted": False})
+            continue
 
         xnorm = float(_xnorm(cams, points))
         if dnorm < tols["satol"] + tols["srtol"] * xnorm:
@@ -316,10 +344,14 @@ def levenberg_marquardt(problem: BAProblem,
             nres += 1
             njac += 1
             nrejects = 0
-            # lambda decrease (`lm.jl:329-337`)
-            lam /= opts.nu_d
-            if ared >= opts.good_ratio * pred:
+            if opts.lam_strategy == "nielsen":
+                lam *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                nu = 2.0
+            else:
+                # lambda decrease (`lm.jl:329-337`)
                 lam /= opts.nu_d
+                if ared >= opts.good_ratio * pred:
+                    lam /= opts.nu_d
             lam = max(lam, opts.lam_min)
             it += 1
             if ckpt_mgr is not None:
@@ -331,9 +363,14 @@ def levenberg_marquardt(problem: BAProblem,
                 status = "small_obj_change"
                 break
         else:
-            # lambda increase (`lm.jl:306-308`)
             nrejects += 1
-            lam = max(lam, 1.0 / max(dnorm, 1e-300)) * opts.nu_m ** nrejects
+            if opts.lam_strategy == "nielsen":
+                lam *= nu
+                nu *= 2.0
+            else:
+                # lambda increase (`lm.jl:306-308`)
+                lam = (max(lam, 1.0 / max(dnorm, 1e-300))
+                       * opts.nu_m ** nrejects)
             it += 1
 
     else:

@@ -77,7 +77,7 @@ def _objective(problem, cams, points):
 
 @partial(jax.jit, static_argnames=(
     "max_iters", "pcg_max_iters", "use_dense", "linesearch", "ls_max",
-    "lam0_mode"))
+    "lam0_mode", "lam_strategy"))
 def levenberg_marquardt_jit(
     problem: BAProblem, cams=None, points=None, *,
     max_iters: int = 200,
@@ -85,6 +85,7 @@ def levenberg_marquardt_jit(
     atol=None, rtol=None, restol=None, satol=None, srtol=None,
     oatol=None, ortol=None,
     nu_d=3.0, nu_m=3.0, accept_ratio=1e-4, good_ratio=0.9, lam_min=1e-8,
+    lam_strategy: str = "ref",
     pcg_rtol=None, pcg_max_iters: int = 100,
     use_dense: bool = False,
     linesearch: bool = False, ls_max: int = 4,
@@ -132,6 +133,7 @@ def levenberg_marquardt_jit(
         cams=cams, points=points, blocks=blocks0, obj=obj0, gnorm=gnorm0,
         lam=lam_init, it=jnp.asarray(0, jnp.int32),
         nrejects=jnp.asarray(0, jnp.int32),
+        nu=jnp.asarray(2.0, dtype),
         status=jnp.asarray(RUNNING, jnp.int32),
         hist_obj=zeros_h, hist_gnorm=zeros_h, hist_lam=zeros_h,
         hist_cg=zeros_i,
@@ -171,8 +173,15 @@ def levenberg_marquardt_jit(
         dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
         xnorm = jnp.sqrt(jnp.sum(cams ** 2) + jnp.sum(points ** 2))
 
+        # A NaN step (f32 Cholesky of a near-indefinite system at small
+        # lambda) is treated as a REJECTION — lambda grows and the solve
+        # retries — rather than the reference's immediate ``fail2``
+        # termination (`lm.jl:297-302`). Only a NaN at an already-huge
+        # lambda is hopeless and terminates.
         nan_step = jnp.logical_not(jnp.isfinite(dnorm))
-        small_step = dnorm < satol + srtol * xnorm
+        fatal_nan = jnp.logical_and(nan_step, lam > 1e20)
+        small_step = jnp.logical_and(jnp.logical_not(nan_step),
+                                     dnorm < satol + srtol * xnorm)
 
         # Evaluate all trial scales in one pass; pick the first acceptable
         # (scale 1.0 first, so plain LM when linesearch=False).
@@ -182,7 +191,9 @@ def levenberg_marquardt_jit(
         objs_t = jax.vmap(trial_obj)(scales)
         preds = -scales * gd - 0.5 * scales * scales * Jd2
         areds = obj - objs_t
-        ok = jnp.logical_and(preds > 0, areds >= accept_ratio * preds)
+        ok = jnp.logical_and(
+            jnp.logical_and(preds > 0, areds >= accept_ratio * preds),
+            jnp.isfinite(objs_t))
         any_ok = jnp.any(ok)
         first = jnp.argmax(ok)          # index of first True
         s_sel = scales[first]
@@ -195,13 +206,23 @@ def levenberg_marquardt_jit(
         cams_t = cams + s_sel * dc
         points_t = points + s_sel * dp
 
-        # lambda update (`lm.jl:306-337`)
+        # lambda update: reference schedule (`lm.jl:306-337`) or Nielsen
         nrej_new = jnp.where(accept, 0, st["nrejects"] + 1).astype(jnp.int32)
-        lam_acc = jnp.maximum(
-            lam / nu_d / jnp.where(ared >= good_ratio * pred, nu_d, 1.0),
-            lam_min)
-        lam_rej = (jnp.maximum(lam, 1.0 / jnp.maximum(dnorm, 1e-300))
-                   * nu_m ** nrej_new.astype(dtype))
+        if lam_strategy == "nielsen":
+            rho = jnp.where(pred > 0, ared / pred, -jnp.inf)
+            lam_acc = jnp.maximum(
+                lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                lam_min)
+            lam_rej = lam * st["nu"]
+            nu_new = jnp.where(accept, 2.0, st["nu"] * 2.0).astype(dtype)
+        else:
+            lam_acc = jnp.maximum(
+                lam / nu_d / jnp.where(ared >= good_ratio * pred, nu_d, 1.0),
+                lam_min)
+            dnorm_safe = jnp.where(jnp.isfinite(dnorm), dnorm, jnp.inf)
+            lam_rej = (jnp.maximum(lam, 1.0 / jnp.maximum(dnorm_safe, 1e-300))
+                       * nu_m ** nrej_new.astype(dtype))
+            nu_new = st["nu"]
         lam_new = jnp.where(accept, lam_acc, lam_rej)
 
         # Re-linearize only on accept.
@@ -220,7 +241,7 @@ def levenberg_marquardt_jit(
 
         rnorm_n = jnp.sqrt(2.0 * obj_n)
         status = jnp.where(
-            nan_step, EXCEPTION,
+            fatal_nan, EXCEPTION,
             jnp.where(small_step, SMALL_STEP,
                       jnp.where(gnorm_n < gtol, FIRST_ORDER,
                                 jnp.where(rnorm_n < restol, SMALL_RESIDUAL,
@@ -233,7 +254,7 @@ def levenberg_marquardt_jit(
         return dict(
             cams=cams_n, points=points_n, blocks=blocks_n, obj=obj_n,
             gnorm=gnorm_n, lam=lam_new, it=it + 1, nrejects=nrej_new,
-            status=status,
+            nu=nu_new, status=status,
             hist_obj=st["hist_obj"].at[it].set(obj),
             hist_gnorm=st["hist_gnorm"].at[it].set(gnorm),
             hist_lam=st["hist_lam"].at[it].set(lam),

@@ -40,13 +40,15 @@ def main(max_nobs=5_000_000):
             p, max_iters=100, pcg_max_iters=100, lam0_mode="diag",
             satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
             oatol=0.0, ortol=1e-4)
+        # NB: on the remote-TPU tunnel `block_until_ready` returns before
+        # execution finishes; only a device->host fetch is a true barrier.
         t0 = time.perf_counter()
         res = solve(problem)
-        jax.block_until_ready(res.objective)
+        float(res.objective)
         compile_and_first = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = solve(problem)
-        jax.block_until_ready(res.objective)
+        float(res.objective)
         solve_s = time.perf_counter() - t0
 
         nequ = 2 * problem.nobs

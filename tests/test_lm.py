@@ -91,3 +91,18 @@ def test_warm_start_resumes():
                                cams=res1.cams, points=res1.points)
     assert res2.solved()
     assert res2.objective <= res1.objective + 1e-9
+
+
+def test_nielsen_lambda_strategy():
+    """Nielsen gain-ratio damping converges where the reference schedule
+    oscillates (and always stays a valid option in both drivers)."""
+    from bundleadjustment_jl_tpu.solver.lm_jit import (
+        STATUS_NAMES, levenberg_marquardt_jit)
+    problem, _ = synthetic_bal(ncams=5, npnts=40, obs_per_pnt=3, seed=3)
+    res = _solve(problem, solver="dense", max_iters=100,
+                 lam_strategy="nielsen")
+    assert res.solved(), res.status
+    j = levenberg_marquardt_jit(problem, max_iters=100, use_dense=True,
+                                lam_strategy="nielsen")
+    assert STATUS_NAMES[int(j.status)] == res.status
+    np.testing.assert_allclose(float(j.objective), res.objective, rtol=1e-8)

@@ -72,8 +72,9 @@ def test_numpy_model_matches_jax_model(problem):
 def test_lm_matches_scipy_trf_optimum(problem):
     scipy_obj = _scipy_solve(problem)
     res = levenberg_marquardt(
-        problem, LMOptions(solver="dense", max_iters=100, linesearch=True,
-                           lam0_mode="diag"))
+        problem, LMOptions(solver="dense", max_iters=200, linesearch=True,
+                           lam0_mode="diag", lam_strategy="nielsen",
+                           oatol=0.0, ortol=1e-7))
     assert res.solved(), res.status
     # same basin, same optimum to ~0.1% (the reference's LM-vs-scipy spread
     # on real problems is of this order, BASELINE.md)
