@@ -1,9 +1,13 @@
-"""Per-phase timing of one LM iteration on the current backend.
+"""Per-phase timing of the LM inner ops on the current backend.
 
-Answers "where does the per-iteration time go" (linearize vs Schur reduce
-vs preconditioner vs one CG matvec vs trial eval) so kernel optimization
-targets the real bottleneck. Usage:
-    python scripts/tpu_profile.py [ncams npnts obs_per_pnt reps]
+Loop-amortized methodology: the remote-TPU tunnel executes asynchronously
+and `block_until_ready` does not wait for completion, so each op is timed
+as a jitted `lax.fori_loop` chain of N dependent applications bracketed by
+a device->host scalar fetch; per-op cost = (t_N - t_1) / (N - 1). The chain
+carries a scalar that perturbs the inputs by a numerically-exact no-op
+(c * 1e-30) to force sequential data dependence without changing values.
+
+Usage: python scripts/tpu_profile.py [ncams npnts obs_per_pnt N]
 """
 
 import sys
@@ -15,69 +19,115 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal  # noqa: E402
-from bundleadjustment_jl_tpu.ops.jacobian import residuals_and_jacobian  # noqa: E402
 from bundleadjustment_jl_tpu.ops.normal import assemble_blocks  # noqa: E402
 from bundleadjustment_jl_tpu.ops.pcg import (  # noqa: E402
-    block_cho_solve, block_cholesky, pcg)
+    block_cho_solve, block_cholesky)
 from bundleadjustment_jl_tpu.ops.residuals import objective  # noqa: E402
 from bundleadjustment_jl_tpu.ops.schur import (  # noqa: E402
-    back_substitute, reduce_system, schur_diag_blocks, schur_matvec)
+    reduce_system, schur_diag_blocks, schur_matvec)
 
 
-def bench(name, fn, *args, reps=20, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+def timed_chain(name, chain_fn, n_hi, n_lo=1):
+    """chain_fn(N) -> jitted callable returning a scalar after N dependent
+    applications. Reports (t_hi - t_lo)/(n_hi - n_lo)."""
+    f_hi = chain_fn(n_hi)
+    f_lo = chain_fn(n_lo)
+    float(f_hi())          # compile + warm
+    float(f_lo())
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"{name:<28} {1e3 * dt:10.3f} ms", flush=True)
-    return out, dt
+    float(f_lo())
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(f_hi())
+    t_hi = time.perf_counter() - t0
+    per = (t_hi - t_lo) / (n_hi - n_lo)
+    print(f"{name:<28} {1e3 * per:10.3f} ms/op   "
+          f"(t1={1e3 * t_lo:.1f} ms, t{n_hi}={1e3 * t_hi:.1f} ms)",
+          flush=True)
+    return per
 
 
-def main(ncams=1031, npnts=110968, obs_per_pnt=5, reps=20):
-    print(f"backend={jax.default_backend()} ncams={ncams} npnts={npnts}")
+def main(ncams=1031, npnts=110968, obs_per_pnt=5, N=16):
+    print(f"backend={jax.default_backend()} ncams={ncams} npnts={npnts}",
+          flush=True)
     problem, _ = synthetic_bal(ncams=ncams, npnts=npnts,
                                obs_per_pnt=obs_per_pnt, noise_px=1.0,
                                perturb=2e-2, seed=1, dtype=jnp.float32,
                                pad_obs_to=1024)
-    print(f"nobs={problem.nobs}")
+    print(f"nobs={problem.nobs}", flush=True)
     lam = jnp.asarray(1e2, jnp.float32)
+    blocks = assemble_blocks(problem)
+    sys_ = reduce_system(problem, blocks, lam)
+    L = block_cholesky(schur_diag_blocks(sys_))
 
-    jac = jax.jit(lambda p: residuals_and_jacobian(p))
-    bench("residuals+jacobian", jac, problem, reps=reps)
+    def chain_assemble(n):
+        @jax.jit
+        def run():
+            def body(i, c):
+                b = assemble_blocks(problem, problem.cams + c * 1e-30,
+                                    problem.points)
+                return c + jnp.sum(b.g_c) * 1e-30
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
 
-    asm = jax.jit(assemble_blocks)
-    blocks, _ = bench("assemble_blocks (full)", asm, problem, reps=reps)
+    def chain_objective(n):
+        @jax.jit
+        def run():
+            def body(i, c):
+                return c + objective(problem, problem.cams + c * 1e-30,
+                                     problem.points) * 1e-30
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
 
-    red = jax.jit(reduce_system)
-    sys_, _ = bench("reduce_system", red, problem, blocks, lam, reps=reps)
+    def chain_reduce(n):
+        @jax.jit
+        def run():
+            def body(i, c):
+                s = reduce_system(problem, blocks, lam + c * 1e-30)
+                return c + jnp.sum(s.b) * 1e-30
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
 
-    diag = jax.jit(schur_diag_blocks)
-    D, _ = bench("schur_diag_blocks", diag, sys_, reps=reps)
+    def chain_matvec(n):
+        @jax.jit
+        def run():
+            def body(i, v):
+                u = schur_matvec(sys_, v)
+                return u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+            v = jax.lax.fori_loop(0, n, body, jnp.ones_like(sys_.b))
+            return jnp.sum(v)
+        return run
 
-    chol = jax.jit(block_cholesky)
-    L, _ = bench("block_cholesky(9x9)", chol, D, reps=reps)
+    def chain_precond(n):
+        @jax.jit
+        def run():
+            def body(i, v):
+                u = block_cho_solve(L, v)
+                return u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+            v = jax.lax.fori_loop(0, n, body, jnp.ones_like(sys_.b))
+            return jnp.sum(v)
+        return run
 
-    mv = jax.jit(schur_matvec)
-    v = jnp.ones_like(sys_.b)
-    bench("schur_matvec (1 CG it)", mv, sys_, v, reps=reps)
+    def chain_diag(n):
+        @jax.jit
+        def run():
+            def body(i, c):
+                s = reduce_system(problem, blocks, lam + c * 1e-30)
+                return c + jnp.sum(schur_diag_blocks(s)) * 1e-30
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
 
-    ps = jax.jit(lambda L, v: block_cho_solve(L, v))
-    bench("precond apply", ps, L, v, reps=reps)
+    t_asm = timed_chain("assemble_blocks", chain_assemble, N)
+    t_obj = timed_chain("objective (trial)", chain_objective, N)
+    t_red = timed_chain("reduce_system", chain_reduce, N)
+    t_dia = timed_chain("reduce+diag_blocks", chain_diag, N)
+    t_mv = timed_chain("schur_matvec", chain_matvec, 4 * N)
+    t_pc = timed_chain("precond apply", chain_precond, 4 * N)
 
-    cg20 = jax.jit(lambda s, L: pcg(
-        lambda u: schur_matvec(s, u), s.b,
-        lambda u: block_cho_solve(L, u), rtol=1e-30, max_iters=20))
-    bench("pcg 20 iters", cg20, sys_, L, reps=max(1, reps // 4))
-
-    bs = jax.jit(back_substitute)
-    dc = jnp.ones_like(sys_.b)
-    bench("back_substitute", bs, sys_, dc, reps=reps)
-
-    obj = jax.jit(objective)
-    bench("objective (trial eval)", obj, problem, reps=reps)
+    cg = 25
+    model = t_asm + t_obj + t_dia + cg * (t_mv + t_pc)
+    print(f"\nmodel LM iter @ {cg} CG its  {1e3 * model:10.3f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":
