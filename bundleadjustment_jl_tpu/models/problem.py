@@ -48,19 +48,31 @@ class BAProblem:
     w: jnp.ndarray         # (nobs_pad,)
     nobs: int              # true (unpadded) observation count
     name: str = "ba"
+    # Sorted-layout metadata (None for layouts not sorted by point, e.g.
+    # after partition_problem): observations are sorted by pnt_idx;
+    # `pnt_starts` (npnts+1,) delimits point segments; `cam_perm`
+    # (nobs_pad,) permutes rows into cam-sorted order delimited by
+    # `cam_starts` (ncams+1,). Enables scatter-free segment sums
+    # (`ops/segsum.py`).
+    pnt_starts: jnp.ndarray | None = None
+    cam_perm: jnp.ndarray | None = None
+    cam_starts: jnp.ndarray | None = None
 
     # ----- pytree protocol -------------------------------------------------
     def tree_flatten(self):
         leaves = (self.cams, self.points, self.cam_idx, self.pnt_idx,
-                  self.pt2d, self.w)
+                  self.pt2d, self.w, self.pnt_starts, self.cam_perm,
+                  self.cam_starts)
         aux = (self.nobs, self.name)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        cams, points, cam_idx, pnt_idx, pt2d, w = leaves
+        (cams, points, cam_idx, pnt_idx, pt2d, w, pnt_starts, cam_perm,
+         cam_starts) = leaves
         nobs, name = aux
-        return cls(cams, points, cam_idx, pnt_idx, pt2d, w, nobs, name)
+        return cls(cams, points, cam_idx, pnt_idx, pt2d, w, nobs, name,
+                   pnt_starts, cam_perm, cam_starts)
 
     # ----- construction ----------------------------------------------------
     @classmethod
@@ -78,18 +90,33 @@ class BAProblem:
             raise ValueError("inconsistent observation arrays")
         if nobs and (cam_idx.max() >= cams.shape[0] or pnt_idx.max() >= points.shape[0]):
             raise ValueError("observation index out of range")
+        ncams, npnts = cams.shape[0], points.shape[0]
+        # Sort observations by point (stable) — the layout `ops/segsum.py`
+        # exploits for scatter-free reductions. Padding rows carry the max
+        # segment ids (zero-weighted, so they sum to nothing).
+        order = np.argsort(pnt_idx, kind="stable")
+        cam_idx, pnt_idx, pt2d = cam_idx[order], pnt_idx[order], pt2d[order]
+
         npad = _round_up(max(nobs, 1), pad_obs_to)
         w = np.zeros((npad,), dtype=dtype)
         w[:nobs] = 1.0
-        ci = np.zeros((npad,), dtype=np.int32)
-        pi = np.zeros((npad,), dtype=np.int32)
+        ci = np.full((npad,), max(ncams - 1, 0), dtype=np.int32)
+        pi = np.full((npad,), max(npnts - 1, 0), dtype=np.int32)
         xy = np.zeros((npad, 2), dtype=dtype)
         ci[:nobs] = cam_idx
         pi[:nobs] = pnt_idx
         xy[:nobs] = pt2d
+
+        from bundleadjustment_jl_tpu.ops.segsum import make_starts
+        pnt_starts = make_starts(pi, npnts, npad)
+        cam_perm = np.argsort(ci, kind="stable").astype(np.int32)
+        cam_starts = make_starts(ci[cam_perm], ncams, npad)
         return cls(jnp.asarray(cams), jnp.asarray(points), jnp.asarray(ci),
                    jnp.asarray(pi), jnp.asarray(xy), jnp.asarray(w),
-                   nobs=nobs, name=name)
+                   nobs=nobs, name=name,
+                   pnt_starts=jnp.asarray(pnt_starts),
+                   cam_perm=jnp.asarray(cam_perm),
+                   cam_starts=jnp.asarray(cam_starts))
 
     # ----- sizes ------------------------------------------------------------
     @property
@@ -121,7 +148,8 @@ class BAProblem:
     def astype(self, dtype) -> "BAProblem":
         return BAProblem(self.cams.astype(dtype), self.points.astype(dtype),
                          self.cam_idx, self.pnt_idx, self.pt2d.astype(dtype),
-                         self.w.astype(dtype), self.nobs, self.name)
+                         self.w.astype(dtype), self.nobs, self.name,
+                         self.pnt_starts, self.cam_perm, self.cam_starts)
 
     # ----- state <-> reference flat layout ----------------------------------
     def state(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -129,7 +157,8 @@ class BAProblem:
 
     def with_state(self, cams, points) -> "BAProblem":
         return BAProblem(cams, points, self.cam_idx, self.pnt_idx, self.pt2d,
-                         self.w, self.nobs, self.name)
+                         self.w, self.nobs, self.name,
+                         self.pnt_starts, self.cam_perm, self.cam_starts)
 
     def flatten_state(self, cams=None, points=None) -> jnp.ndarray:
         """Flat vector in the reference's points-first layout

@@ -29,6 +29,25 @@ import jax.numpy as jnp
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.jacobian import residuals_and_jacobian
+from bundleadjustment_jl_tpu.ops.segsum import (
+    segment_sum_scatter, sorted_segment_sum)
+
+
+def seg_by_pnt(problem: BAProblem, values: jnp.ndarray) -> jnp.ndarray:
+    """Per-observation values -> per-point sums (scatter-free when the
+    problem carries the sorted layout)."""
+    if problem.pnt_starts is not None:
+        return sorted_segment_sum(values, problem.pnt_starts)
+    return segment_sum_scatter(values, problem.pnt_idx, problem.npnts)
+
+
+def seg_by_cam(problem: BAProblem, values: jnp.ndarray) -> jnp.ndarray:
+    """Per-observation values -> per-camera sums (gather through cam_perm
+    then a sorted reduction when the layout allows)."""
+    if problem.cam_perm is not None:
+        return sorted_segment_sum(values[problem.cam_perm],
+                                  problem.cam_starts)
+    return segment_sum_scatter(values, problem.cam_idx, problem.ncams)
 
 
 class GNBlocks(NamedTuple):
@@ -52,17 +71,11 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None) -> GNBlocks:
     (`src/lm.jl:61-81`) and its COO SpMV ``J'r`` (`src/lma_aux.jl:191-212`).
     """
     r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
-    ci, pi = problem.cam_idx, problem.pnt_idx
-    nc, np_ = problem.ncams, problem.npnts
 
-    g_c = jax.ops.segment_sum(
-        jnp.einsum("kia,ki->ka", Jc, r), ci, num_segments=nc)
-    g_p = jax.ops.segment_sum(
-        jnp.einsum("kia,ki->ka", Jp, r), pi, num_segments=np_)
-    Hcc = jax.ops.segment_sum(
-        jnp.einsum("kia,kib->kab", Jc, Jc), ci, num_segments=nc)
-    Hpp = jax.ops.segment_sum(
-        jnp.einsum("kia,kib->kab", Jp, Jp), pi, num_segments=np_)
+    g_c = seg_by_cam(problem, jnp.einsum("kia,ki->ka", Jc, r))
+    g_p = seg_by_pnt(problem, jnp.einsum("kia,ki->ka", Jp, r))
+    Hcc = seg_by_cam(problem, jnp.einsum("kia,kib->kab", Jc, Jc))
+    Hpp = seg_by_pnt(problem, jnp.einsum("kia,kib->kab", Jp, Jp))
     W = jnp.einsum("kia,kib->kab", Jc, Jp)
     return GNBlocks(g_c=g_c, g_p=g_p, Hcc=Hcc, Hpp=Hpp, W=W, r=r, Jc=Jc, Jp=Jp)
 

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.normal import GNBlocks, damp, inv3x3
+from bundleadjustment_jl_tpu.ops.segsum import (
+    segment_sum_scatter, sorted_segment_sum)
 
 
 class SchurSystem(NamedTuple):
@@ -41,36 +43,49 @@ class SchurSystem(NamedTuple):
     g_p: jnp.ndarray       # (npnts, 3) point gradient (for back-substitution)
     cam_idx: jnp.ndarray
     pnt_idx: jnp.ndarray
+    # sorted-layout metadata (None -> scatter fallback; see ops/segsum.py)
+    pnt_starts: jnp.ndarray | None = None
+    cam_perm: jnp.ndarray | None = None
+    cam_starts: jnp.ndarray | None = None
+
+
+def _seg_pnt(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
+    if sys.pnt_starts is not None:
+        return sorted_segment_sum(values, sys.pnt_starts)
+    return segment_sum_scatter(values, sys.pnt_idx, sys.Hpp_inv.shape[0])
+
+
+def _seg_cam(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
+    if sys.cam_perm is not None:
+        return sorted_segment_sum(values[sys.cam_perm], sys.cam_starts)
+    return segment_sum_scatter(values, sys.cam_idx, sys.Hcc_l.shape[0])
 
 
 def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     """Damp with ``lambda`` and form the reduced camera RHS."""
     Hcc_l = damp(blocks.Hcc, lam)
     Hpp_inv = inv3x3(damp(blocks.Hpp, lam))
-    ci, pi = problem.cam_idx, problem.pnt_idx
+    sys = SchurSystem(Hcc_l=Hcc_l, Hpp_inv=Hpp_inv, W=blocks.W,
+                      b=blocks.g_c,  # placeholder, replaced below
+                      g_p=blocks.g_p, cam_idx=problem.cam_idx,
+                      pnt_idx=problem.pnt_idx,
+                      pnt_starts=problem.pnt_starts,
+                      cam_perm=problem.cam_perm,
+                      cam_starts=problem.cam_starts)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
-    corr = jax.ops.segment_sum(
-        jnp.einsum("kab,kb->ka", blocks.W, tmp[pi]),
-        ci, num_segments=problem.ncams)
-    b = -blocks.g_c + corr
-    return SchurSystem(Hcc_l=Hcc_l, Hpp_inv=Hpp_inv, W=blocks.W, b=b,
-                       g_p=blocks.g_p, cam_idx=ci, pnt_idx=pi)
+    corr = _seg_cam(sys, jnp.einsum("kab,kb->ka", blocks.W,
+                                    tmp[problem.pnt_idx]))
+    return sys._replace(b=-blocks.g_c + corr)
 
 
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
-    npnts = sys.Hpp_inv.shape[0]
-    ncams = sys.Hcc_l.shape[0]
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
     # W' v, accumulated per point
-    t = jax.ops.segment_sum(
-        jnp.einsum("kab,ka->kb", sys.W, v[sys.cam_idx]),
-        sys.pnt_idx, num_segments=npnts)                         # (npnts,3)
+    t = _seg_pnt(sys, jnp.einsum("kab,ka->kb", sys.W, v[sys.cam_idx]))
     t = jnp.einsum("pab,pb->pa", sys.Hpp_inv, t)
-    u2 = jax.ops.segment_sum(
-        jnp.einsum("kab,kb->ka", sys.W, t[sys.pnt_idx]),
-        sys.cam_idx, num_segments=ncams)
+    u2 = _seg_cam(sys, jnp.einsum("kab,kb->ka", sys.W, t[sys.pnt_idx]))
     return u - u2
 
 
@@ -81,19 +96,14 @@ def schur_diag_blocks(sys: SchurSystem) -> jnp.ndarray:
     because each (cam, pnt) pair appears in one observation, so off-diagonal
     point couplings never land on the diagonal.
     """
-    ncams = sys.Hcc_l.shape[0]
     WCW = jnp.einsum("kab,kbc,kdc->kad",
                      sys.W, sys.Hpp_inv[sys.pnt_idx], sys.W)
-    return sys.Hcc_l - jax.ops.segment_sum(
-        WCW, sys.cam_idx, num_segments=ncams)
+    return sys.Hcc_l - _seg_cam(sys, WCW)
 
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
-    npnts = sys.Hpp_inv.shape[0]
-    t = jax.ops.segment_sum(
-        jnp.einsum("kab,ka->kb", sys.W, dc[sys.cam_idx]),
-        sys.pnt_idx, num_segments=npnts)
+    t = _seg_pnt(sys, jnp.einsum("kab,ka->kb", sys.W, dc[sys.cam_idx]))
     return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
 
 
