@@ -41,8 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native bundle adjustment (BAL problems)")
     p.add_argument("problem",
                    help="BAL .txt/.txt.bz2 path or 'synthetic:k=v,...'")
-    p.add_argument("--solver", choices=["pcg", "dense"], default="pcg",
-                   help="reduced-camera-system solver (default pcg)")
+    p.add_argument("--solver", choices=["pcg", "dense", "cgls"],
+                   default="pcg",
+                   help="linear-step solver: Schur+PCG (default), dense "
+                        "Schur Cholesky, or damped CGLS on J")
     p.add_argument("--driver", choices=["host", "jit"], default="jit",
                    help="host-stepped loop (rich logging) or one-XLA-program")
     p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default=None,
@@ -123,6 +125,7 @@ def main(argv=None) -> int:
             problem, max_iters=args.max_iters, lam0=args.lam0,
             pcg_rtol=args.pcg_rtol, pcg_max_iters=args.pcg_max_iters,
             use_dense=(args.solver == "dense"),
+            use_cgls=(args.solver == "cgls"),
             linesearch=args.linesearch)
         jax.block_until_ready(res.objective)
         status = STATUS_NAMES[int(res.status)]

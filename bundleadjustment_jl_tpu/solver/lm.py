@@ -91,7 +91,10 @@ class LMOptions:
     #                                       convergence
     linesearch: bool = False              # delta-halving on reject
     ls_max: int = 4                       # max halvings (`lm.jl:263`)
-    solver: str = "pcg"                   # "pcg" | "dense"
+    solver: str = "pcg"                   # "pcg": Schur + block-Jacobi PCG;
+    #                                       "dense": Schur + dense Cholesky;
+    #                                       "cgls": damped CGLS on J (the
+    #                                       QR-path analogue, ops/cgls.py)
     pcg_rtol: Optional[float] = None      # None -> Eisenstat-Walker forcing
     pcg_max_iters: int = 100
     verbose: bool = False
@@ -161,24 +164,31 @@ def _objective_at(problem: BAProblem, cams, points):
     return 0.5 * jnp.vdot(r, r)
 
 
-@partial(jax.jit, static_argnames=("use_dense", "pcg_max_iters"))
+@partial(jax.jit, static_argnames=("method", "pcg_max_iters"))
 def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
-                  use_dense: bool, pcg_max_iters: int):
+                  method: str, pcg_max_iters: int):
     """Damp, reduce, solve for (dc, dp); also return the step's quadratic
     model pieces ``gd = g'd`` and ``Jd2 = ||J d||^2`` so predicted reduction
     at any scaled step ``s*d`` is ``-s*gd - 0.5*s^2*Jd2`` (used by the
     linesearch, cf. the cheap update `lm.jl:277`)."""
-    sys = reduce_system(problem, blocks, lam)
-    if use_dense:
+    if method == "cgls":
+        from bundleadjustment_jl_tpu.ops.cgls import cgls_solve
+        res = cgls_solve(problem, blocks, lam, rtol=pcg_rtol,
+                         max_iters=pcg_max_iters)
+        dc, dp, cg_iters = res.dc, res.dp, res.iters
+    elif method == "dense":
+        sys = reduce_system(problem, blocks, lam)
         dc = solve_dense(sys)
+        dp = back_substitute(sys, dc)
         cg_iters = jnp.asarray(0, jnp.int32)
     else:
+        sys = reduce_system(problem, blocks, lam)
         L = block_cholesky(schur_diag_blocks(sys))
         res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                   lambda v: block_cho_solve(L, v),
                   rtol=pcg_rtol, max_iters=pcg_max_iters)
         dc, cg_iters = res.x, res.iters
-    dp = back_substitute(sys, dc)
+        dp = back_substitute(sys, dc)
     gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
     Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
           + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
@@ -213,7 +223,8 @@ def levenberg_marquardt(problem: BAProblem,
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
     tols = opts.resolved_tols(problem.dtype)
-    use_dense = opts.solver == "dense"
+    if opts.solver not in ("pcg", "dense", "cgls"):
+        raise ValueError(f"unknown solver {opts.solver!r}")
 
     ckpt_mgr = None
     resume_lam = None
@@ -278,7 +289,8 @@ def levenberg_marquardt(problem: BAProblem,
         pcg_rtol = (opts.pcg_rtol if opts.pcg_rtol is not None
                     else float(forcing_rtol(jnp.asarray(float(gnorm)))))
         dc, dp, gd, Jd2, dnorm, cg_iters = _compute_step(
-            problem, blocks, lam, pcg_rtol, use_dense, opts.pcg_max_iters)
+            problem, blocks, lam, pcg_rtol, opts.solver,
+            opts.pcg_max_iters)
         gd, Jd2, dnorm = float(gd), float(Jd2), float(dnorm)
 
         if not np.isfinite(dnorm):

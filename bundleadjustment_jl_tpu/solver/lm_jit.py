@@ -76,8 +76,8 @@ def _objective(problem, cams, points):
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iters", "pcg_max_iters", "use_dense", "linesearch", "ls_max",
-    "lam0_mode", "lam_strategy"))
+    "max_iters", "pcg_max_iters", "use_dense", "use_cgls", "linesearch",
+    "ls_max", "lam0_mode", "lam_strategy"))
 def levenberg_marquardt_jit(
     problem: BAProblem, cams=None, points=None, *,
     max_iters: int = 200,
@@ -87,7 +87,7 @@ def levenberg_marquardt_jit(
     nu_d=3.0, nu_m=3.0, accept_ratio=1e-4, good_ratio=0.9, lam_min=1e-8,
     lam_strategy: str = "ref",
     pcg_rtol=None, pcg_max_iters: int = 100,
-    use_dense: bool = False,
+    use_dense: bool = False, use_cgls: bool = False,
     linesearch: bool = False, ls_max: int = 4,
 ) -> LMJitResult:
     """One-call LM solve; every option is a traced scalar except the static
@@ -154,17 +154,24 @@ def levenberg_marquardt_jit(
 
         rtol_cg = (jnp.asarray(pcg_rtol, dtype) if pcg_rtol is not None
                    else forcing_rtol(gnorm))
-        sys = reduce_system(problem, blocks, lam)
-        if use_dense:
+        if use_cgls:
+            from bundleadjustment_jl_tpu.ops.cgls import cgls_solve
+            cres = cgls_solve(problem, blocks, lam, rtol=rtol_cg,
+                              max_iters=pcg_max_iters)
+            dc, dp, cg_iters = cres.dc, cres.dp, cres.iters
+        elif use_dense:
+            sys = reduce_system(problem, blocks, lam)
             dc = solve_dense(sys)
+            dp = back_substitute(sys, dc)
             cg_iters = jnp.asarray(0, jnp.int32)
         else:
+            sys = reduce_system(problem, blocks, lam)
             L = block_cholesky(schur_diag_blocks(sys))
             res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                       lambda v: block_cho_solve(L, v),
                       rtol=rtol_cg, max_iters=pcg_max_iters)
             dc, cg_iters = res.x, res.iters
-        dp = back_substitute(sys, dc)
+            dp = back_substitute(sys, dc)
 
         gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
         Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
