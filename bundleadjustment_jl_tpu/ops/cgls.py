@@ -74,17 +74,19 @@ def cgls_solve(problem: BAProblem, blocks: GNBlocks, lam,
         return jnp.sum(ac * bc) + jnp.sum(ap * bp)
 
     # x0 = 0; s1 = b = -r ; s2 = -sqrt(lam) x = 0
+    # All N-major carries travel FLAT (see GNBlocks: TPU tile-pads small
+    # minor dims of while-carried buffers).
     s1 = -blocks.r
     vc, vp = jt_matvec(problem, blocks, s1)
     zc, zp = precond(vc, vp)
     gamma0 = dot(vc, vp, zc, zp)
     gamma0_safe = jnp.where(gamma0 <= 0.0, 1.0, gamma0)
 
-    zeros_c = jnp.zeros_like(vc)
-    zeros_p = jnp.zeros_like(vp)
-    state0 = dict(xc=zeros_c, xp=zeros_p, s1=s1,
+    zeros_c = jnp.zeros_like(vc).reshape(-1)
+    zeros_p = jnp.zeros_like(vp).reshape(-1)
+    state0 = dict(xc=zeros_c, xp=zeros_p, s1=s1.reshape(-1),
                   s2c=zeros_c, s2p=zeros_p,
-                  pc=zc, pp=zp, gamma=gamma0,
+                  pc=zc.reshape(-1), pp=zp.reshape(-1), gamma=gamma0,
                   it=jnp.asarray(0, jnp.int32))
 
     def cond(st):
@@ -92,26 +94,30 @@ def cgls_solve(problem: BAProblem, blocks: GNBlocks, lam,
                                st["gamma"] > rtol * rtol * gamma0_safe)
 
     def body(st):
-        q1 = j_matvec(problem, blocks, st["pc"], st["pp"])
+        pc = st["pc"].reshape(-1, 9)
+        pp = st["pp"].reshape(-1, 3)
+        q1 = j_matvec(problem, blocks, pc, pp)
         denom = (jnp.sum(q1 * q1)
-                 + lam * (jnp.sum(st["pc"] ** 2) + jnp.sum(st["pp"] ** 2)))
+                 + lam * (jnp.sum(pc ** 2) + jnp.sum(pp ** 2)))
         alpha = jnp.where(denom > 0.0, st["gamma"] / denom, 0.0)
         xc = st["xc"] + alpha * st["pc"]
         xp = st["xp"] + alpha * st["pp"]
-        s1 = st["s1"] - alpha * q1
+        s1 = st["s1"] - alpha * q1.reshape(-1)
         s2c = st["s2c"] - alpha * sqlam * st["pc"]
         s2p = st["s2p"] - alpha * sqlam * st["pp"]
-        vc, vp = jt_matvec(problem, blocks, s1)
-        vc = vc + sqlam * s2c
-        vp = vp + sqlam * s2p
-        zc, zp = precond(vc, vp)
-        gamma_new = dot(vc, vp, zc, zp)
+        vc, vp = jt_matvec(problem, blocks, s1.reshape(-1, 2))
+        vc = vc.reshape(-1) + sqlam * s2c
+        vp = vp.reshape(-1) + sqlam * s2p
+        zc, zp = precond(vc.reshape(-1, 9), vp.reshape(-1, 3))
+        gamma_new = dot(vc, vp, zc.reshape(-1), zp.reshape(-1))
         beta = jnp.where(st["gamma"] > 0.0, gamma_new / st["gamma"], 0.0)
         return dict(xc=xc, xp=xp, s1=s1, s2c=s2c, s2p=s2p,
-                    pc=zc + beta * st["pc"], pp=zp + beta * st["pp"],
+                    pc=zc.reshape(-1) + beta * st["pc"],
+                    pp=zp.reshape(-1) + beta * st["pp"],
                     gamma=gamma_new, it=st["it"] + 1)
 
     st = jax.lax.while_loop(cond, body, state0)
     rel = jnp.sqrt(jnp.maximum(st["gamma"], 0.0) / gamma0_safe)
-    return CGLSResult(dc=st["xc"], dp=st["xp"], iters=st["it"],
+    return CGLSResult(dc=st["xc"].reshape(-1, 9),
+                      dp=st["xp"].reshape(-1, 3), iters=st["it"],
                       rel_grad=rel)

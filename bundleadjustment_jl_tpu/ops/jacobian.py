@@ -127,8 +127,15 @@ def residuals_and_jacobian(
     """
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
-    c = cams[problem.cam_idx]           # (N, 9) gather
-    X = points[problem.pnt_idx]         # (N, 3) gather
+    return rj_raw(cams, points, problem.cam_idx, problem.pnt_idx,
+                  problem.pt2d, problem.w)
+
+
+def rj_raw(cams, points, cam_idx, pnt_idx, pt2d, w):
+    """residuals_and_jacobian on raw observation arrays (any leading
+    shape); used directly and by the chunked assembly scan."""
+    c = cams[cam_idx]                   # (N, 9) gather
+    X = points[pnt_idx]                 # (N, 3) gather
 
     r_aa, t = c[:, 0:3], c[:, 3:6]
     k1, k2, f = c[:, 6], c[:, 7], c[:, 8]
@@ -171,11 +178,11 @@ def residuals_and_jacobian(
     Jr = jnp.einsum("nij,njk->nik", BA_, D)                 # (N,2,3) d/dr
     Jc = jnp.concatenate([Jr, BA_, J_dist], axis=-1)        # (N,2,9)
 
-    res = proj - problem.pt2d
+    res = proj - pt2d
 
     # z == 0: the reference produces NaN and zeroes it (`BALNLPModels.jl:199-201`);
     # we zero the whole observation explicitly.
-    valid = (z != 0.0).astype(res.dtype) * problem.w        # (N,)
+    valid = (z != 0.0).astype(res.dtype) * w                # (N,)
     res = res * valid[:, None]
     Jc = Jc * valid[:, None, None]
     Jp = Jp * valid[:, None, None]

@@ -34,50 +34,160 @@ from bundleadjustment_jl_tpu.ops.segsum import (
 
 
 def seg_by_pnt(problem: BAProblem, values: jnp.ndarray) -> jnp.ndarray:
-    """Per-observation values -> per-point sums (scatter-free when the
-    problem carries the sorted layout)."""
-    if problem.pnt_starts is not None:
+    """Per-observation values -> per-point sums (scan path only when
+    segsum.SORTED_MODE is enabled; see the measured verdict there)."""
+    from bundleadjustment_jl_tpu.ops import segsum
+    if segsum.SORTED_MODE and problem.pnt_starts is not None:
         return sorted_segment_sum(values, problem.pnt_starts)
     return segment_sum_scatter(values, problem.pnt_idx, problem.npnts)
 
 
 def seg_by_cam(problem: BAProblem, values: jnp.ndarray) -> jnp.ndarray:
-    """Per-observation values -> per-camera sums (gather through cam_perm
-    then a sorted reduction when the layout allows)."""
-    if problem.cam_perm is not None:
+    """Per-observation values -> per-camera sums."""
+    from bundleadjustment_jl_tpu.ops import segsum
+    if segsum.SORTED_MODE and problem.cam_perm is not None:
         return sorted_segment_sum(values[problem.cam_perm],
                                   problem.cam_starts)
     return segment_sum_scatter(values, problem.cam_idx, problem.ncams)
 
 
 class GNBlocks(NamedTuple):
-    """Damped Gauss-Newton system in block form (all batched-dense)."""
-    g_c: jnp.ndarray    # (ncams, 9)   J_c' r
-    g_p: jnp.ndarray    # (npnts, 3)   J_p' r
-    Hcc: jnp.ndarray    # (ncams, 9, 9) camera diagonal blocks (undamped)
-    Hpp: jnp.ndarray    # (npnts, 3, 3) point diagonal blocks (undamped)
-    W: jnp.ndarray      # (nobs_pad, 9, 3) per-observation Hcp blocks
-    r: jnp.ndarray      # (nobs_pad, 2) weighted residuals
-    Jc: jnp.ndarray     # (nobs_pad, 2, 9)
-    Jp: jnp.ndarray     # (nobs_pad, 2, 3)
+    """Damped Gauss-Newton system in block form (all batched-dense).
+
+    Storage is FLAT (1-D) per array: TPU XLA tile-pads the minor dims of
+    persistent N-major arrays with tiny trailing dims — measured 75.9x
+    expansion for a while-carried f32[N,9,3] ({2,1,0:T(8,128)} layout) —
+    while 1-D buffers stay packed. The shaped views (``r``, ``Jc``, ``Jp``,
+    ``W``, ...) are zero-cost reshapes fused into consumers.
+    """
+    g_c_f: jnp.ndarray   # flat (ncams*9,)    J_c' r
+    g_p_f: jnp.ndarray   # flat (npnts*3,)    J_p' r
+    Hcc_f: jnp.ndarray   # flat (ncams*81,)   camera diagonal blocks
+    Hpp_f: jnp.ndarray   # flat (npnts*9,)    point diagonal blocks
+    W_f: jnp.ndarray     # flat (nobs_pad*27,) per-observation Hcp blocks
+    r_f: jnp.ndarray     # flat (nobs_pad*2,) weighted residuals
+    Jc_f: jnp.ndarray    # flat (nobs_pad*18,)
+    Jp_f: jnp.ndarray    # flat (nobs_pad*6,)
+
+    @property
+    def g_c(self):
+        return self.g_c_f.reshape(-1, 9)
+
+    @property
+    def g_p(self):
+        return self.g_p_f.reshape(-1, 3)
+
+    @property
+    def Hcc(self):
+        return self.Hcc_f.reshape(-1, 9, 9)
+
+    @property
+    def Hpp(self):
+        return self.Hpp_f.reshape(-1, 3, 3)
+
+    @property
+    def W(self):
+        return self.W_f.reshape(-1, 9, 3)
+
+    @property
+    def r(self):
+        return self.r_f.reshape(-1, 2)
+
+    @property
+    def Jc(self):
+        return self.Jc_f.reshape(-1, 2, 9)
+
+    @property
+    def Jp(self):
+        return self.Jp_f.reshape(-1, 2, 3)
+
+    @classmethod
+    def from_shaped(cls, g_c, g_p, Hcc, Hpp, W, r, Jc, Jp):
+        return cls(g_c.reshape(-1), g_p.reshape(-1), Hcc.reshape(-1),
+                   Hpp.reshape(-1), W.reshape(-1), r.reshape(-1),
+                   Jc.reshape(-1), Jp.reshape(-1))
 
 
-def assemble_blocks(problem: BAProblem, cams=None, points=None) -> GNBlocks:
+def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
+    """Pick an observation-chunk size for streaming assembly: None for
+    small problems (whole-width is fastest), else the largest power-of-two
+    divisor of ``n`` up to 2^16. Bounds XLA temp memory: the unfused
+    linearization chain materializes ~8 KB/obs of intermediates, which at
+    Venice scale (4.5M obs) would exceed HBM (measured: OOM at 1.25M)."""
+    if n <= threshold:
+        return None
+    for c in (1 << 16, 1 << 15, 1 << 14, 1 << 13, 1 << 12,
+              1 << 11, 1 << 10, 1 << 9, 1 << 8, 1 << 7):
+        if n % c == 0:
+            return c
+    return None
+
+
+def assemble_blocks(problem: BAProblem, cams=None, points=None,
+                    chunk: int | str | None = "auto") -> GNBlocks:
     """Linearize at (cams, points) and assemble all Gauss-Newton blocks.
 
     One fused pass: residuals, Jacobian blocks, gradients and Hessian blocks.
     Padded observations carry zero Jacobians/residuals so every segment_sum
     is exact. This replaces the reference's sparse-matrix assembly
     (`src/lm.jl:61-81`) and its COO SpMV ``J'r`` (`src/lma_aux.jl:191-212`).
-    """
-    r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
 
-    g_c = seg_by_cam(problem, jnp.einsum("kia,ki->ka", Jc, r))
-    g_p = seg_by_pnt(problem, jnp.einsum("kia,ki->ka", Jp, r))
-    Hcc = seg_by_cam(problem, jnp.einsum("kia,kib->kab", Jc, Jc))
-    Hpp = seg_by_pnt(problem, jnp.einsum("kia,kib->kab", Jp, Jp))
-    W = jnp.einsum("kia,kib->kab", Jc, Jp)
-    return GNBlocks(g_c=g_c, g_p=g_p, Hcc=Hcc, Hpp=Hpp, W=W, r=r, Jc=Jc, Jp=Jp)
+    ``chunk``: stream the observation axis through a `lax.scan` in chunks of
+    this size (bounding temp memory); "auto" picks via :func:`auto_chunk`.
+    """
+    cams = problem.cams if cams is None else cams
+    points = problem.points if points is None else points
+    n = problem.nobs_pad
+    if chunk == "auto":
+        chunk = auto_chunk(n)
+    if chunk is None or n % chunk != 0 or n <= chunk:
+        r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
+        g_c = seg_by_cam(problem, jnp.einsum("kia,ki->ka", Jc, r))
+        g_p = seg_by_pnt(problem, jnp.einsum("kia,ki->ka", Jp, r))
+        Hcc = seg_by_cam(problem, jnp.einsum("kia,kib->kab", Jc, Jc))
+        Hpp = seg_by_pnt(problem, jnp.einsum("kia,kib->kab", Jp, Jp))
+        W = jnp.einsum("kia,kib->kab", Jc, Jp)
+        return GNBlocks.from_shaped(g_c, g_p, Hcc, Hpp, W, r, Jc, Jp)
+
+    from bundleadjustment_jl_tpu.ops.jacobian import rj_raw
+    from bundleadjustment_jl_tpu.ops.segsum import segment_sum_scatter
+    nchunks = n // chunk
+    nc, np_ = problem.ncams, problem.npnts
+    dt = cams.dtype
+    # NB: scan xs/ys buffers keep the per-step shape as minor dims, and TPU
+    # tile-pads minor dims (2,9)->(8,128) etc. — measured 4+ GB of padding
+    # copies at 1.4M obs. All per-step arrays therefore travel FLAT
+    # (chunk*d,) and are reshaped outside the scan (both sides packed
+    # row-major -> free).
+    xs = (problem.cam_idx.reshape(nchunks, chunk),
+          problem.pnt_idx.reshape(nchunks, chunk),
+          problem.pt2d.reshape(nchunks, chunk * 2),
+          problem.w.reshape(nchunks, chunk))
+    carry0 = (jnp.zeros((nc, 9), dt), jnp.zeros((np_, 3), dt),
+              jnp.zeros((nc, 9, 9), dt), jnp.zeros((np_, 3, 3), dt))
+
+    def body(carry, x):
+        g_c, g_p, Hcc, Hpp = carry
+        ci, pi, xy_f, w = x
+        r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(chunk, 2), w)
+        g_c = g_c + segment_sum_scatter(
+            jnp.einsum("kia,ki->ka", Jc, r), ci, nc)
+        g_p = g_p + segment_sum_scatter(
+            jnp.einsum("kia,ki->ka", Jp, r), pi, np_)
+        Hcc = Hcc + segment_sum_scatter(
+            jnp.einsum("kia,kib->kab", Jc, Jc), ci, nc)
+        Hpp = Hpp + segment_sum_scatter(
+            jnp.einsum("kia,kib->kab", Jp, Jp), pi, np_)
+        W = jnp.einsum("kia,kib->kab", Jc, Jp)
+        return (g_c, g_p, Hcc, Hpp), (
+            r.reshape(-1), Jc.reshape(-1), Jp.reshape(-1), W.reshape(-1))
+
+    (g_c, g_p, Hcc, Hpp), (r, Jc, Jp, W) = jax.lax.scan(body, carry0, xs)
+    return GNBlocks(
+        g_c_f=g_c.reshape(-1), g_p_f=g_p.reshape(-1),
+        Hcc_f=Hcc.reshape(-1), Hpp_f=Hpp.reshape(-1),
+        W_f=W.reshape(-1), r_f=r.reshape(-1),
+        Jc_f=Jc.reshape(-1), Jp_f=Jp.reshape(-1))
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

@@ -35,12 +35,16 @@ from bundleadjustment_jl_tpu.ops.segsum import (
 
 
 class SchurSystem(NamedTuple):
-    """The damped, point-eliminated camera system at a given lambda."""
-    Hcc_l: jnp.ndarray     # (ncams, 9, 9) damped camera diagonal blocks
-    Hpp_inv: jnp.ndarray   # (npnts, 3, 3) inverse damped point blocks
-    W: jnp.ndarray         # (nobs_pad, 9, 3)
-    b: jnp.ndarray         # (ncams, 9) reduced RHS
-    g_p: jnp.ndarray       # (npnts, 3) point gradient (for back-substitution)
+    """The damped, point-eliminated camera system at a given lambda.
+
+    Flat storage + shaped views — same TPU tile-padding rationale as
+    :class:`bundleadjustment_jl_tpu.ops.normal.GNBlocks`.
+    """
+    Hcc_l_f: jnp.ndarray   # flat (ncams*81,) damped camera diagonal blocks
+    Hpp_inv_f: jnp.ndarray  # flat (npnts*9,) inverse damped point blocks
+    W_f: jnp.ndarray       # flat (nobs_pad*27,)
+    b_f: jnp.ndarray       # flat (ncams*9,) reduced RHS
+    g_p_f: jnp.ndarray     # flat (npnts*3,) point gradient (back-subst.)
     cam_idx: jnp.ndarray
     pnt_idx: jnp.ndarray
     # sorted-layout metadata (None -> scatter fallback; see ops/segsum.py)
@@ -48,15 +52,37 @@ class SchurSystem(NamedTuple):
     cam_perm: jnp.ndarray | None = None
     cam_starts: jnp.ndarray | None = None
 
+    @property
+    def Hcc_l(self):
+        return self.Hcc_l_f.reshape(-1, 9, 9)
+
+    @property
+    def Hpp_inv(self):
+        return self.Hpp_inv_f.reshape(-1, 3, 3)
+
+    @property
+    def W(self):
+        return self.W_f.reshape(-1, 9, 3)
+
+    @property
+    def b(self):
+        return self.b_f.reshape(-1, 9)
+
+    @property
+    def g_p(self):
+        return self.g_p_f.reshape(-1, 3)
+
 
 def _seg_pnt(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
-    if sys.pnt_starts is not None:
+    from bundleadjustment_jl_tpu.ops import segsum
+    if segsum.SORTED_MODE and sys.pnt_starts is not None:
         return sorted_segment_sum(values, sys.pnt_starts)
     return segment_sum_scatter(values, sys.pnt_idx, sys.Hpp_inv.shape[0])
 
 
 def _seg_cam(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
-    if sys.cam_perm is not None:
+    from bundleadjustment_jl_tpu.ops import segsum
+    if segsum.SORTED_MODE and sys.cam_perm is not None:
         return sorted_segment_sum(values[sys.cam_perm], sys.cam_starts)
     return segment_sum_scatter(values, sys.cam_idx, sys.Hcc_l.shape[0])
 
@@ -65,9 +91,10 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     """Damp with ``lambda`` and form the reduced camera RHS."""
     Hcc_l = damp(blocks.Hcc, lam)
     Hpp_inv = inv3x3(damp(blocks.Hpp, lam))
-    sys = SchurSystem(Hcc_l=Hcc_l, Hpp_inv=Hpp_inv, W=blocks.W,
-                      b=blocks.g_c,  # placeholder, replaced below
-                      g_p=blocks.g_p, cam_idx=problem.cam_idx,
+    sys = SchurSystem(Hcc_l_f=Hcc_l.reshape(-1),
+                      Hpp_inv_f=Hpp_inv.reshape(-1), W_f=blocks.W_f,
+                      b_f=blocks.g_c_f,  # placeholder, replaced below
+                      g_p_f=blocks.g_p_f, cam_idx=problem.cam_idx,
                       pnt_idx=problem.pnt_idx,
                       pnt_starts=problem.pnt_starts,
                       cam_perm=problem.cam_perm,
@@ -76,7 +103,7 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
     corr = _seg_cam(sys, jnp.einsum("kab,kb->ka", blocks.W,
                                     tmp[problem.pnt_idx]))
-    return sys._replace(b=-blocks.g_c + corr)
+    return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
 
 
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
@@ -89,16 +116,42 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     return u - u2
 
 
-def schur_diag_blocks(sys: SchurSystem) -> jnp.ndarray:
+def schur_diag_blocks(sys: SchurSystem,
+                      chunk: int | str | None = "auto") -> jnp.ndarray:
     """Exact diagonal 9x9 blocks of S (for the block-Jacobi preconditioner).
 
     ``S_ii = Hcc_l[i] - sum_{k: cam(k)=i} W_k Hpp_inv[pnt(k)] W_k'`` — exact
     because each (cam, pnt) pair appears in one observation, so off-diagonal
-    point couplings never land on the diagonal.
+    point couplings never land on the diagonal. The per-observation
+    ``W C^-1 W'`` product materializes 81 floats/obs, so large problems
+    stream it chunked (cf. `ops/normal.py:auto_chunk`).
     """
-    WCW = jnp.einsum("kab,kbc,kdc->kad",
-                     sys.W, sys.Hpp_inv[sys.pnt_idx], sys.W)
-    return sys.Hcc_l - _seg_cam(sys, WCW)
+    from bundleadjustment_jl_tpu.ops.normal import auto_chunk
+    n = sys.W.shape[0]
+    ncams = sys.Hcc_l.shape[0]
+    if chunk == "auto":
+        chunk = auto_chunk(n)
+    if chunk is None or n % chunk != 0 or n <= chunk:
+        WCW = jnp.einsum("kab,kbc,kdc->kad",
+                         sys.W, sys.Hpp_inv[sys.pnt_idx], sys.W)
+        return sys.Hcc_l - _seg_cam(sys, WCW)
+
+    nchunks = n // chunk
+    # flat per-step layout — see the tile-padding note in
+    # ops/normal.py:assemble_blocks
+    xs = (sys.W.reshape(nchunks, chunk * 27),
+          sys.cam_idx.reshape(nchunks, chunk),
+          sys.pnt_idx.reshape(nchunks, chunk))
+
+    def body(acc, x):
+        W_f, ci, pi = x
+        W = W_f.reshape(chunk, 9, 3)
+        WCW = jnp.einsum("kab,kbc,kdc->kad", W, sys.Hpp_inv[pi], W)
+        return acc + segment_sum_scatter(WCW, ci, ncams), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros_like(sys.Hcc_l), xs)
+    return sys.Hcc_l - acc
 
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:

@@ -20,12 +20,24 @@ far cheaper than scatter.
 
 The scatter path remains as `segment_sum_scatter` for unsorted layouts
 (e.g. after `partition_problem`'s per-part padding).
+
+MEASURED VERDICT (one TPU chip, scripts/tpu_scaling.py): XLA's TPU
+scatter-add is in fact competitive, while `associative_scan` both inflates
+compile time ~20x (log-depth unrolled HLO over (nobs, 81) arrays) and runs
+~2x slower end-to-end. The scan path is therefore OFF by default
+(``SORTED_MODE = False``) and kept for (a) numerical experiments and
+(b) the sorted-layout metadata it shares with the planned Pallas
+tile-reduction kernel, which is the real speed-of-light path.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+# Global switch: True -> use the sorted prefix-scan path when layout
+# metadata is available; False -> always scatter.
+SORTED_MODE = False
 
 
 def _two_sum(a, b):

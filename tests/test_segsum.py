@@ -64,29 +64,44 @@ def test_prefix_sum_compensated_matches_f64():
 
 
 def test_problem_helpers_match_scatter():
+    """With SORTED_MODE forced on, the scan path must agree with scatter."""
+    from bundleadjustment_jl_tpu.ops import segsum
     problem, _ = synthetic_bal(ncams=9, npnts=70, obs_per_pnt=3, seed=90)
     assert problem.pnt_starts is not None
     vals = jnp.asarray(
         np.random.default_rng(4).normal(size=(problem.nobs_pad, 5)))
     vals = vals * problem.w[:, None]
+    old = segsum.SORTED_MODE
+    try:
+        segsum.SORTED_MODE = True
+        by_pnt = seg_by_pnt(problem, vals)
+        by_cam = seg_by_cam(problem, vals)
+    finally:
+        segsum.SORTED_MODE = old
     np.testing.assert_allclose(
-        np.asarray(seg_by_pnt(problem, vals)),
+        np.asarray(by_pnt),
         np.asarray(segment_sum_scatter(vals, problem.pnt_idx,
                                        problem.npnts)),
         rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(
-        np.asarray(seg_by_cam(problem, vals)),
+        np.asarray(by_cam),
         np.asarray(segment_sum_scatter(vals, problem.cam_idx,
                                        problem.ncams)),
         rtol=1e-10, atol=1e-12)
 
 
 def test_blocks_same_with_and_without_sorted_layout():
+    from bundleadjustment_jl_tpu.ops import segsum
     problem, _ = synthetic_bal(ncams=9, npnts=70, obs_per_pnt=3, seed=91)
     stripped = problem.__class__(
         problem.cams, problem.points, problem.cam_idx, problem.pnt_idx,
         problem.pt2d, problem.w, problem.nobs, problem.name)
-    b1 = assemble_blocks(problem)
+    old = segsum.SORTED_MODE
+    try:
+        segsum.SORTED_MODE = True
+        b1 = assemble_blocks(problem)
+    finally:
+        segsum.SORTED_MODE = old
     b2 = assemble_blocks(stripped)
     for a, b in zip((b1.g_c, b1.g_p, b1.Hcc, b1.Hpp),
                     (b2.g_c, b2.g_p, b2.Hcc, b2.Hpp)):
