@@ -105,6 +105,47 @@ def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable,
                      rel_res=jnp.sqrt(dot(r, r)) / bnorm_safe)
 
 
+@partial(jax.jit, static_argnames=("matvec", "m_apply", "m_solve",
+                                   "max_terms"))
+def power_series(matvec: Callable, b: jnp.ndarray, m_apply: Callable,
+                 m_solve: Callable, rtol, max_terms: int = 50) -> PCGResult:
+    """Power-series (preconditioned Richardson) solve of ``S x = b``.
+
+    With the splitting ``S = M - N`` (M = the damped block-diagonal camera
+    part, N = the Schur coupling term), iterate the Neumann expansion
+
+        x_{k+1} = M^{-1} (b + N x_k),   N x = M x - S x
+
+    the scheme popularized for BA by "Power Bundle Adjustment for
+    Large-Scale 3D Reconstruction" (arXiv:2204.12834): convergence is
+    guaranteed for the damped Schur complement (both M and N are PSD), each
+    term costs exactly one S-matvec, and unlike CG the recurrence has no
+    inner products — attractive when global reductions are the bottleneck
+    on a large mesh.
+
+    ``m_apply(x) = M x`` and ``m_solve(y) = M^{-1} y``.
+    """
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    bnorm_safe = jnp.where(bnorm == 0.0, 1.0, bnorm)
+    x0 = m_solve(b)
+
+    def cond(state):
+        x, res, it = state
+        return jnp.logical_and(it < max_terms, res > rtol * bnorm_safe)
+
+    def body(state):
+        x, _, it = state
+        Sx = matvec(x)
+        res = jnp.sqrt(jnp.sum((b - Sx) ** 2))
+        x = m_solve(b + m_apply(x) - Sx)
+        return (x, res, it + 1)
+
+    x, res, it = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(jnp.inf, b.dtype),
+                     jnp.asarray(0, jnp.int32)))
+    return PCGResult(x=x, iters=it, rel_res=res / bnorm_safe)
+
+
 def forcing_rtol(grad_norm: jnp.ndarray, floor=1e-10, cap=1e-2):
     """Eisenstat-Walker-style forcing term: tighter as the gradient shrinks.
 

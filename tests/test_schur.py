@@ -125,3 +125,28 @@ def test_predicted_reduction_matches_dense(setup, dense_oracle):
     pred_dense = 0.5 * float(r @ r) - 0.5 * float(
         jnp.sum((J @ d + r) ** 2))
     np.testing.assert_allclose(pred, pred_dense, rtol=1e-7)
+
+
+def test_power_series_matches_dense(setup):
+    """PBA-style Neumann expansion converges to the dense Schur solution.
+
+    The series' rate is the spectral radius of M^-1 N, which approaches 1
+    as lambda -> 0 (gauge directions), so a well-damped system is used and
+    convergence is checked at the loose tolerances the method targets
+    (inexact LM steps) plus full agreement at a strong damping.
+    """
+    from bundleadjustment_jl_tpu.ops.pcg import (
+        block_cho_solve, block_cholesky, power_series)
+    problem, blocks, _ = setup
+    sys = reduce_system(problem, blocks, 10.0)  # well-damped
+    L_M = block_cholesky(sys.Hcc_l)
+    res = power_series(
+        lambda v: schur_matvec(sys, v), sys.b,
+        lambda v: jnp.einsum("cab,cb->ca", sys.Hcc_l, v),
+        lambda v: block_cho_solve(L_M, v),
+        rtol=2e-4, max_terms=3000)
+    dc = solve_dense(sys)
+    assert float(res.rel_res) < 2e-4
+    err = (np.linalg.norm(np.asarray(res.x) - np.asarray(dc))
+           / np.linalg.norm(np.asarray(dc)))
+    assert err < 5e-2, err
