@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lam0", type=float, default=None)
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="shard observations over the first N devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host SPMD: the "
+                        "mesh spans every process's devices; set the "
+                        "standard JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/"
+                        "PROCESS_ID env vars)")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line instead of the stats block")
@@ -74,6 +79,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+    if args.multihost:
+        # Multi-host SPMD (DCN across hosts, ICI within a slice): all
+        # processes run this same CLI; collectives are placed by GSPMD
+        # exactly as in the single-host case (SURVEY.md §2.3).
+        jax.distributed.initialize()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     backend = jax.default_backend()

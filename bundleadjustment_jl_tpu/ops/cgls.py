@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
+from bundleadjustment_jl_tpu.ops.blockmul import (
+    jc_dot, jcT_dot, jp_dot, jpT_dot)
 from bundleadjustment_jl_tpu.ops.normal import (
     GNBlocks, damp, inv3x3, seg_by_cam, seg_by_pnt)
 from bundleadjustment_jl_tpu.ops.pcg import block_cho_solve, block_cholesky
@@ -43,15 +45,15 @@ class CGLSResult(NamedTuple):
 def j_matvec(problem: BAProblem, blocks: GNBlocks,
              dc: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
     """``J @ d`` per observation: (nobs_pad, 2)."""
-    return (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
-            + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
+    return (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
+            + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
 
 
 def jt_matvec(problem: BAProblem, blocks: GNBlocks,
               s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``J' @ s`` for s of shape (nobs_pad, 2) -> ((ncams,9), (npnts,3))."""
-    vc = seg_by_cam(problem, jnp.einsum("kia,ki->ka", blocks.Jc, s))
-    vp = seg_by_pnt(problem, jnp.einsum("kia,ki->ka", blocks.Jp, s))
+    vc = seg_by_cam(problem, jcT_dot(blocks.Jc_f, s))
+    vp = seg_by_pnt(problem, jpT_dot(blocks.Jp_f, s))
     return vc, vp
 
 

@@ -140,13 +140,18 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     n = problem.nobs_pad
     if chunk == "auto":
         chunk = auto_chunk(n)
+    from bundleadjustment_jl_tpu.ops.blockmul import (
+        jcT_dot, jjT_outer, jpT_dot)
     if chunk is None or n % chunk != 0 or n <= chunk:
         r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
-        g_c = seg_by_cam(problem, jnp.einsum("kia,ki->ka", Jc, r))
-        g_p = seg_by_pnt(problem, jnp.einsum("kia,ki->ka", Jp, r))
-        Hcc = seg_by_cam(problem, jnp.einsum("kia,kib->kab", Jc, Jc))
-        Hpp = seg_by_pnt(problem, jnp.einsum("kia,kib->kab", Jp, Jp))
-        W = jnp.einsum("kia,kib->kab", Jc, Jp)
+        Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
+        g_c = seg_by_cam(problem, jcT_dot(Jc_f, r))
+        g_p = seg_by_pnt(problem, jpT_dot(Jp_f, r))
+        Hcc = seg_by_cam(problem, jjT_outer(Jc_f, 9, Jc_f, 9)).reshape(
+            -1, 9, 9)
+        Hpp = seg_by_pnt(problem, jjT_outer(Jp_f, 3, Jp_f, 3)).reshape(
+            -1, 3, 3)
+        W = jjT_outer(Jc_f, 9, Jp_f, 3)
         return GNBlocks.from_shaped(g_c, g_p, Hcc, Hpp, W, r, Jc, Jp)
 
     from bundleadjustment_jl_tpu.ops.jacobian import rj_raw
@@ -170,17 +175,16 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         g_c, g_p, Hcc, Hpp = carry
         ci, pi, xy_f, w = x
         r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(chunk, 2), w)
-        g_c = g_c + segment_sum_scatter(
-            jnp.einsum("kia,ki->ka", Jc, r), ci, nc)
-        g_p = g_p + segment_sum_scatter(
-            jnp.einsum("kia,ki->ka", Jp, r), pi, np_)
+        Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
+        g_c = g_c + segment_sum_scatter(jcT_dot(Jc_f, r), ci, nc)
+        g_p = g_p + segment_sum_scatter(jpT_dot(Jp_f, r), pi, np_)
         Hcc = Hcc + segment_sum_scatter(
-            jnp.einsum("kia,kib->kab", Jc, Jc), ci, nc)
+            jjT_outer(Jc_f, 9, Jc_f, 9), ci, nc).reshape(nc, 9, 9)
         Hpp = Hpp + segment_sum_scatter(
-            jnp.einsum("kia,kib->kab", Jp, Jp), pi, np_)
-        W = jnp.einsum("kia,kib->kab", Jc, Jp)
+            jjT_outer(Jp_f, 3, Jp_f, 3), pi, np_).reshape(np_, 3, 3)
+        W = jjT_outer(Jc_f, 9, Jp_f, 3)
         return (g_c, g_p, Hcc, Hpp), (
-            r.reshape(-1), Jc.reshape(-1), Jp.reshape(-1), W.reshape(-1))
+            r.reshape(-1), Jc_f, Jp_f, W.reshape(-1))
 
     (g_c, g_p, Hcc, Hpp), (r, Jc, Jp, W) = jax.lax.scan(body, carry0, xs)
     return GNBlocks(

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
+from bundleadjustment_jl_tpu.ops.blockmul import (
+    jc_dot, jp_dot, w_dot_b, wT_dot_a)
 from bundleadjustment_jl_tpu.ops.normal import GNBlocks, damp, inv3x3
 from bundleadjustment_jl_tpu.ops.segsum import (
     segment_sum_scatter, sorted_segment_sum)
@@ -101,8 +103,7 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       cam_starts=problem.cam_starts)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
-    corr = _seg_cam(sys, jnp.einsum("kab,kb->ka", blocks.W,
-                                    tmp[problem.pnt_idx]))
+    corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp[problem.pnt_idx]))
     return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
 
 
@@ -110,9 +111,9 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
     # W' v, accumulated per point
-    t = _seg_pnt(sys, jnp.einsum("kab,ka->kb", sys.W, v[sys.cam_idx]))
+    t = _seg_pnt(sys, wT_dot_a(sys.W_f, v[sys.cam_idx]))
     t = jnp.einsum("pab,pb->pa", sys.Hpp_inv, t)
-    u2 = _seg_cam(sys, jnp.einsum("kab,kb->ka", sys.W, t[sys.pnt_idx]))
+    u2 = _seg_cam(sys, w_dot_b(sys.W_f, t[sys.pnt_idx]))
     return u - u2
 
 
@@ -156,7 +157,7 @@ def schur_diag_blocks(sys: SchurSystem,
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
-    t = _seg_pnt(sys, jnp.einsum("kab,ka->kb", sys.W, dc[sys.cam_idx]))
+    t = _seg_pnt(sys, wT_dot_a(sys.W_f, dc[sys.cam_idx]))
     return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
 
 
@@ -170,8 +171,8 @@ def predicted_reduction(problem: BAProblem, blocks: GNBlocks,
     (the reference reads this off the LDL solution block, `src/lm.jl:227-229`).
     """
     gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
-    Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
-          + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
+    Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
+          + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
     return -gd - 0.5 * jnp.sum(Jd * Jd)
 
 

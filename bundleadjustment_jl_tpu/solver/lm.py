@@ -190,8 +190,9 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
         dc, cg_iters = res.x, res.iters
         dp = back_substitute(sys, dc)
     gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
-    Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
-          + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
+    from bundleadjustment_jl_tpu.ops.blockmul import jc_dot, jp_dot
+    Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
+          + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
     Jd2 = jnp.sum(Jd * Jd)
     dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
     return dc, dp, gd, Jd2, dnorm, cg_iters

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
+from bundleadjustment_jl_tpu.ops.blockmul import jc_dot, jp_dot
 from bundleadjustment_jl_tpu.ops.normal import assemble_blocks, gradient_norm
 from bundleadjustment_jl_tpu.ops.pcg import (
     block_cho_solve, block_cholesky, forcing_rtol, pcg)
@@ -178,8 +179,8 @@ def levenberg_marquardt_jit(
             dp = back_substitute(sys, dc)
 
         gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
-        Jd = (jnp.einsum("kia,ka->ki", blocks.Jc, dc[problem.cam_idx])
-              + jnp.einsum("kia,ka->ki", blocks.Jp, dp[problem.pnt_idx]))
+        Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
+              + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
         Jd2 = jnp.sum(Jd * Jd)
         dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
         xnorm = jnp.sqrt(jnp.sum(cams ** 2) + jnp.sum(points ** 2))
