@@ -12,4 +12,7 @@ from bundleadjustment_jl_tpu.ops.schur import (  # noqa: F401
     SchurSystem, reduce_system, schur_matvec, schur_diag_blocks,
     back_substitute, predicted_reduction, assemble_dense_schur, solve_dense)
 from bundleadjustment_jl_tpu.ops.pcg import (  # noqa: F401
-    pcg, PCGResult, block_cholesky, block_cho_solve, forcing_rtol)
+    pcg, PCGResult, block_cholesky, block_cho_solve, forcing_rtol,
+    power_series)
+from bundleadjustment_jl_tpu.ops.cgls import (  # noqa: F401
+    cgls_solve, CGLSResult, j_matvec, jt_matvec)
