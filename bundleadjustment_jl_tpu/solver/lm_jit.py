@@ -70,6 +70,20 @@ class LMJitResult(NamedTuple):
     def status_name(self) -> str:
         return STATUS_NAMES[int(self.status)]
 
+    # Evaluation counters (the reference's neval_cons/neval_jac bookkeeping,
+    # `BALNLPModels.jl:116,126,162`): per iteration the jit driver runs
+    # n_scales trial residual evaluations plus one linearization (residual +
+    # Jacobian) on accepted steps; +1 each for the initial linearization.
+    @property
+    def neval_jac(self) -> int:
+        accepts = int((self.hist_obj[1:int(self.iterations)]
+                       != self.hist_obj[:int(self.iterations) - 1]).sum()) + 1
+        return accepts + 1
+
+    @property
+    def neval_residual(self) -> int:
+        return int(self.iterations) + self.neval_jac
+
 
 def _objective(problem, cams, points):
     r = residuals(problem, cams, points)

@@ -1,21 +1,26 @@
-"""Venice-1350-scale multi-device demonstration.
+"""Mesh-path scale demonstration at Venice/Final BAL sizes.
 
-The reference STALLS on Venice-1350 (894,716 points, 4.5M observations:
-small_step at iteration 1 after 1.9e3 s — BASELINE.md); single-chip f32
-needs the k-minor layout work (docs/performance.md). This script runs the
-problem on a device MESH — the designed scale-out path — sharding the
-observation axis. On a real pod slice the same code runs unchanged; here it
-validates on N virtual CPU devices.
+Usage: python scripts/mesh_scale_demo.py [preset] [ndev] [max_iters]
+  preset: venice  (1350 cams, 894,716 pts, ~4.5M obs)  [default]
+          final   (13682 cams, 4,456,117 pts, ~28M obs — the largest BAL
+                   problem; the reference never attempted it)
 
-Usage: python scripts/venice_mesh_demo.py [ndev] [max_iters]
+Runs on N virtual CPU devices here; identical program on a real slice.
 """
 
 import os
 import sys
 import time
 
-ndev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-max_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+preset = sys.argv[1] if len(sys.argv) > 1 else "venice"
+ndev = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+SIZES = {
+    "venice": (1350, 894716, 5),
+    "final": (13682, 4456117, 6),
+}
+ncams, npnts, opp = SIZES[preset]
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -38,14 +43,14 @@ from bundleadjustment_jl_tpu.solver.lm_jit import (  # noqa: E402
 
 
 def main():
-    print(f"devices: {len(jax.devices())}", flush=True)
+    print(f"preset={preset} devices={len(jax.devices())}", flush=True)
     t0 = time.perf_counter()
     problem, _ = synthetic_bal(
-        ncams=1350, npnts=894716, obs_per_pnt=5, noise_px=1.0,
+        ncams=ncams, npnts=npnts, obs_per_pnt=opp, noise_px=1.0,
         perturb=2e-2, seed=1, dtype=jnp.float32, pad_obs_to=8192)
-    print(f"generated Venice-1350 synth: nobs={problem.nobs} "
-          f"nvar={problem.nvar} nequ={problem.nequ} "
-          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+    print(f"generated: nobs={problem.nobs} nvar={problem.nvar} "
+          f"nequ={problem.nequ} ({time.perf_counter() - t0:.1f}s)",
+          flush=True)
     sharded = shard_problem(problem, make_mesh(ndev))
 
     t0 = time.perf_counter()
@@ -56,10 +61,11 @@ def main():
     obj = float(res.objective)
     dt = time.perf_counter() - t0
     nequ = problem.nequ
-    print(f"status={STATUS_NAMES[int(res.status)]} iters={int(res.iterations)} "
-          f"obj={obj:.6g} rmse={ (2*obj/nequ)**0.5:.4f}px "
-          f"expected_opt_obj={0.5*(nequ-problem.nvar):.4g} "
-          f"wall={dt:.1f}s (compile included)", flush=True)
+    print(f"status={STATUS_NAMES[int(res.status)]} "
+          f"iters={int(res.iterations)} obj={obj:.6g} "
+          f"rmse={(2 * obj / nequ) ** 0.5:.4f}px "
+          f"expected_opt={0.5 * (nequ - problem.nvar):.4g} "
+          f"wall={dt:.1f}s (incl. compile)", flush=True)
     import numpy as np
     print("obj trace:", np.asarray(res.hist_obj[:int(res.iterations)]),
           flush=True)
