@@ -41,10 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native bundle adjustment (BAL problems)")
     p.add_argument("problem",
                    help="BAL .txt/.txt.bz2 path or 'synthetic:k=v,...'")
-    p.add_argument("--solver", choices=["pcg", "dense", "cgls"],
+    p.add_argument("--solver", choices=["pcg", "dense", "cgls", "power"],
                    default="pcg",
                    help="linear-step solver: Schur+PCG (default), dense "
-                        "Schur Cholesky, or damped CGLS on J")
+                        "Schur Cholesky, damped CGLS on J, or PBA-style "
+                        "power series")
     p.add_argument("--driver", choices=["host", "jit"], default="jit",
                    help="host-stepped loop (rich logging) or one-XLA-program")
     p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default=None,
@@ -136,6 +137,7 @@ def main(argv=None) -> int:
             pcg_rtol=args.pcg_rtol, pcg_max_iters=args.pcg_max_iters,
             use_dense=(args.solver == "dense"),
             use_cgls=(args.solver == "cgls"),
+            use_power=(args.solver == "power"),
             linesearch=args.linesearch)
         jax.block_until_ready(res.objective)
         status = STATUS_NAMES[int(res.status)]

@@ -94,7 +94,9 @@ class LMOptions:
     solver: str = "pcg"                   # "pcg": Schur + block-Jacobi PCG;
     #                                       "dense": Schur + dense Cholesky;
     #                                       "cgls": damped CGLS on J (the
-    #                                       QR-path analogue, ops/cgls.py)
+    #                                       QR-path analogue, ops/cgls.py);
+    #                                       "power": PBA-style Neumann
+    #                                       series (ops/pcg.power_series)
     pcg_rtol: Optional[float] = None      # None -> Eisenstat-Walker forcing
     pcg_max_iters: int = 100
     verbose: bool = False
@@ -176,6 +178,18 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
         res = cgls_solve(problem, blocks, lam, rtol=pcg_rtol,
                          max_iters=pcg_max_iters)
         dc, dp, cg_iters = res.dc, res.dp, res.iters
+    elif method == "power":
+        # PBA-style Neumann series on the reduced camera system
+        from bundleadjustment_jl_tpu.ops.pcg import power_series
+        sys = reduce_system(problem, blocks, lam)
+        L_M = block_cholesky(sys.Hcc_l)
+        res = power_series(
+            lambda v: schur_matvec(sys, v), sys.b,
+            lambda v: jnp.einsum("cab,cb->ca", sys.Hcc_l, v),
+            lambda v: block_cho_solve(L_M, v),
+            rtol=pcg_rtol, max_terms=pcg_max_iters)
+        dc, cg_iters = res.x, res.iters
+        dp = back_substitute(sys, dc)
     elif method == "dense":
         sys = reduce_system(problem, blocks, lam)
         dc = solve_dense(sys)
@@ -224,7 +238,7 @@ def levenberg_marquardt(problem: BAProblem,
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
     tols = opts.resolved_tols(problem.dtype)
-    if opts.solver not in ("pcg", "dense", "cgls"):
+    if opts.solver not in ("pcg", "dense", "cgls", "power"):
         raise ValueError(f"unknown solver {opts.solver!r}")
 
     ckpt_mgr = None

@@ -91,8 +91,8 @@ def _objective(problem, cams, points):
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iters", "pcg_max_iters", "use_dense", "use_cgls", "linesearch",
-    "ls_max", "lam0_mode", "lam_strategy"))
+    "max_iters", "pcg_max_iters", "use_dense", "use_cgls", "use_power",
+    "linesearch", "ls_max", "lam0_mode", "lam_strategy"))
 def levenberg_marquardt_jit(
     problem: BAProblem, cams=None, points=None, *,
     max_iters: int = 200,
@@ -103,6 +103,7 @@ def levenberg_marquardt_jit(
     lam_strategy: str = "ref",
     pcg_rtol=None, pcg_max_iters: int = 100,
     use_dense: bool = False, use_cgls: bool = False,
+    use_power: bool = False,
     linesearch: bool = False, ls_max: int = 4,
 ) -> LMJitResult:
     """One-call LM solve; every option is a traced scalar except the static
@@ -178,6 +179,17 @@ def levenberg_marquardt_jit(
             cres = cgls_solve(problem, blocks, lam, rtol=rtol_cg,
                               max_iters=pcg_max_iters)
             dc, dp, cg_iters = cres.dc, cres.dp, cres.iters
+        elif use_power:
+            from bundleadjustment_jl_tpu.ops.pcg import power_series
+            sys = reduce_system(problem, blocks, lam)
+            L_M = block_cholesky(sys.Hcc_l)
+            pres = power_series(
+                lambda v: schur_matvec(sys, v), sys.b,
+                lambda v: jnp.einsum("cab,cb->ca", sys.Hcc_l, v),
+                lambda v: block_cho_solve(L_M, v),
+                rtol=rtol_cg, max_terms=pcg_max_iters)
+            dc, cg_iters = pres.x, pres.iters
+            dp = back_substitute(sys, dc)
         elif use_dense:
             sys = reduce_system(problem, blocks, lam)
             dc = solve_dense(sys)

@@ -88,16 +88,21 @@ bool slurp(const char* path, std::vector<char>& out) {
   return true;
 }
 
-inline int64_t next_i64(const char*& p) {
+// `ok` latches false if a token fails to parse (e.g. truncated file:
+// strtod stops advancing at the terminating NUL and would otherwise
+// silently yield zeros forever).
+inline int64_t next_i64(const char*& p, bool& ok) {
   char* end = nullptr;
   const int64_t v = std::strtoll(p, &end, 10);
+  if (end == p) ok = false;
   p = end;
   return v;
 }
 
-inline double next_f64(const char*& p) {
+inline double next_f64(const char*& p, bool& ok) {
   char* end = nullptr;
   const double v = std::strtod(p, &end);
+  if (end == p) ok = false;
   p = end;
   return v;
 }
@@ -123,10 +128,11 @@ int bal_read_header(const char* path, int64_t* ncams, int64_t* npnts,
     buf[rd] = '\0';
   }
   const char* p = buf.data();
-  *ncams = next_i64(p);
-  *npnts = next_i64(p);
-  *nobs = next_i64(p);
-  return (*ncams > 0 && *npnts > 0 && *nobs > 0) ? 0 : 1;
+  bool ok = true;
+  *ncams = next_i64(p, ok);
+  *npnts = next_i64(p, ok);
+  *nobs = next_i64(p, ok);
+  return (ok && *ncams > 0 && *npnts > 0 && *nobs > 0) ? 0 : 1;
 }
 
 int bal_parse(const char* path, int64_t* cam_idx, int64_t* pnt_idx,
@@ -135,22 +141,23 @@ int bal_parse(const char* path, int64_t* cam_idx, int64_t* pnt_idx,
   if (!slurp(path, buf)) return 1;
   const char* p = buf.data();
   const char* end = buf.data() + buf.size() - 1;
+  bool ok = true;
 
-  const int64_t ncams = next_i64(p);
-  const int64_t npnts = next_i64(p);
-  const int64_t nobs = next_i64(p);
-  if (ncams <= 0 || npnts <= 0 || nobs <= 0) return 1;
+  const int64_t ncams = next_i64(p, ok);
+  const int64_t npnts = next_i64(p, ok);
+  const int64_t nobs = next_i64(p, ok);
+  if (!ok || ncams <= 0 || npnts <= 0 || nobs <= 0) return 1;
 
-  for (int64_t k = 0; k < nobs; ++k) {
-    cam_idx[k] = next_i64(p);
-    pnt_idx[k] = next_i64(p);
-    pt2d[2 * k] = next_f64(p);
-    pt2d[2 * k + 1] = next_f64(p);
+  for (int64_t k = 0; k < nobs && ok; ++k) {
+    cam_idx[k] = next_i64(p, ok);
+    pnt_idx[k] = next_i64(p, ok);
+    pt2d[2 * k] = next_f64(p, ok);
+    pt2d[2 * k + 1] = next_f64(p, ok);
   }
-  for (int64_t i = 0; i < 9 * ncams; ++i) cams[i] = next_f64(p);
-  for (int64_t i = 0; i < 3 * npnts; ++i) points[i] = next_f64(p);
-  // p advanced past every token without running off the buffer?
-  return (p <= end) ? 0 : 1;
+  for (int64_t i = 0; i < 9 * ncams && ok; ++i) cams[i] = next_f64(p, ok);
+  for (int64_t i = 0; i < 3 * npnts && ok; ++i) points[i] = next_f64(p, ok);
+  // every token parsed and p never ran off the buffer?
+  return (ok && p <= end) ? 0 : 1;
 }
 
 }  // extern "C"

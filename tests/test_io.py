@@ -60,3 +60,23 @@ def test_flatten_unflatten_roundtrip():
     np.testing.assert_array_equal(np.asarray(cams), np.asarray(problem.cams))
     np.testing.assert_array_equal(np.asarray(points),
                                   np.asarray(problem.points))
+
+
+def test_reader_rejects_truncated_file(tmp_path):
+    """Malformed BAL input fails loudly, not silently (the reference would
+    throw a parse error mid-stream; both readers must too)."""
+    import pytest
+    from bundleadjustment_jl_tpu.io.bal import read_bal, write_bal, load_fixture
+    src = str(tmp_path / "trunc.txt")
+    write_bal(src, load_fixture())
+    text = open(src).read().splitlines()
+    open(src, "w").write("\n".join(text[:-5]))  # drop trailing values
+    with pytest.raises(Exception):
+        read_bal(src)
+
+
+def test_reader_rejects_missing_file():
+    import pytest
+    from bundleadjustment_jl_tpu.io.bal import read_bal
+    with pytest.raises(Exception):
+        read_bal("/nonexistent/problem-1-1-pre.txt")

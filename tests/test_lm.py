@@ -106,3 +106,23 @@ def test_nielsen_lambda_strategy():
                                 lam_strategy="nielsen")
     assert STATUS_NAMES[int(j.status)] == res.status
     np.testing.assert_allclose(float(j.objective), res.objective, rtol=1e-8)
+
+
+def test_power_series_solver_converges():
+    """PBA-style power-series inner solver drives LM to the optimum in both
+    drivers (inexact steps; the series targets loose per-step tolerances)."""
+    from bundleadjustment_jl_tpu.solver.lm_jit import (
+        STATUS_NAMES, levenberg_marquardt_jit)
+    problem, _ = synthetic_bal(ncams=8, npnts=60, obs_per_pnt=3,
+                               noise_px=0.3, perturb=2e-3, seed=210)
+    ref = _solve(problem, solver="dense", max_iters=60)
+    host = _solve(problem, solver="power", max_iters=80, pcg_max_iters=200,
+                  pcg_rtol=1e-3, lam0_mode="diag")
+    assert host.solved(), host.status
+    np.testing.assert_allclose(host.objective, ref.objective, rtol=2e-2)
+    jit = levenberg_marquardt_jit(problem, max_iters=80, pcg_max_iters=200,
+                                  pcg_rtol=1e-3, lam0_mode="diag",
+                                  use_power=True)
+    assert STATUS_NAMES[int(jit.status)] != "exception"
+    np.testing.assert_allclose(float(jit.objective), ref.objective,
+                               rtol=2e-2)
