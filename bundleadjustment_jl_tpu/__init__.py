@@ -9,7 +9,7 @@ reference Julia package `CelestineAngla/BundleAdjustment.jl` (mounted at
 - Snavely camera / reprojection model (Rodrigues rotation + radial
   distortion), batched residuals     -> :mod:`bundleadjustment_jl_tpu.models`
 - Batched Jacobian blocks, Schur-complement point elimination, block-Jacobi
-  PCG, Pallas fused kernels          -> :mod:`bundleadjustment_jl_tpu.ops`
+  PCG                                -> :mod:`bundleadjustment_jl_tpu.ops`
 - Levenberg-Marquardt solver (host-stepped and fully-jitted variants)
                                      -> :mod:`bundleadjustment_jl_tpu.solver`
 - Mesh sharding of observations with XLA collectives
@@ -23,7 +23,9 @@ Reference parity map (file:line cites point into /root/reference):
 - `src/qr_aux.jl`, `src/ldl_aux.jl` (SPQR/LDLT)
       -> ops/schur.py + ops/pcg.py (Schur complement + PCG replace sparse
          factorizations; see SURVEY.md §2.2)
-- `src/lma_aux.jl` (equilibration, mixed precision) -> ops/scaling.py
+- `src/lma_aux.jl` (equilibration -> block-Jacobi preconditioning in
+  ops/pcg.py; COO SpMV -> ops/blockmul.py; mixed precision shims ->
+  benchmark/precision.py + solver facto_dtype)
 - `src/benchmark.jl`, `src/diffprecsions.jl` -> benchmark/
 - `src/SolverScipy.py` -> kept as cross-check in tests/test_scipy_oracle.py
 """

@@ -101,15 +101,15 @@ def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
     # slots whenever the forced camera collides).
     n_forced = min(ncams, npnts)
     cam_rows[:n_forced, 0] = np.arange(n_forced)
-    while True:
-        head = cam_rows[:n_forced]
-        s = np.sort(head, axis=1)
-        dup = (s[:, 1:] == s[:, :-1]).any(axis=1)
-        if not dup.any():
-            break
-        rows = np.flatnonzero(dup)
-        cam_rows[rows, 1:] = rng.integers(0, ncams,
-                                          size=(rows.size, k - 1))
+    head = cam_rows[:n_forced]
+    s = np.sort(head, axis=1)
+    dup = (s[:, 1:] == s[:, :-1]).any(axis=1)
+    # Re-draw colliding rows exactly (without replacement, excluding the
+    # forced camera) — a rejection loop here stalls when obs_per_pnt is
+    # close to ncams (success prob ~ (ncams-1)!/ncams^(k-1)).
+    for ri in np.flatnonzero(dup):
+        pool = np.delete(np.arange(ncams), cam_rows[ri, 0])
+        cam_rows[ri, 1:] = rng.choice(pool, size=k - 1, replace=False)
     cam_idx = cam_rows.reshape(-1)
 
     proj = _project_np(cams[cam_idx], points[pnt_idx])

@@ -80,3 +80,21 @@ def project(cam: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     k1, k2, f = cam[6], cam[7], cam[8]
     proj = f * distortion_factor(p2, k1, k2) * p2
     return jnp.where(z == 0.0, jnp.zeros_like(proj), proj)
+
+
+def project_valid(cam: jnp.ndarray, X: jnp.ndarray):
+    """Like :func:`project` but also returns the z != 0 validity flag.
+
+    Residual evaluation zeroes the ENTIRE observation when the point sits on
+    the camera plane — the same convention `ops.jacobian.rj_raw` applies to
+    residual and Jacobian alike — so trial objectives and linearized
+    objectives are computed against the same residual vector.
+    """
+    p1 = project_p1(cam, X)
+    z = p1[2]
+    valid = z != 0.0
+    z_safe = jnp.where(valid, z, 1.0)
+    p2 = -p1[0:2] / z_safe
+    k1, k2, f = cam[6], cam[7], cam[8]
+    proj = f * distortion_factor(p2, k1, k2) * p2
+    return jnp.where(valid, proj, jnp.zeros_like(proj)), valid

@@ -48,31 +48,32 @@ class BAProblem:
     w: jnp.ndarray         # (nobs_pad,)
     nobs: int              # true (unpadded) observation count
     name: str = "ba"
-    # Sorted-layout metadata (None for layouts not sorted by point, e.g.
-    # after partition_problem): observations are sorted by pnt_idx;
-    # `pnt_starts` (npnts+1,) delimits point segments; `cam_perm`
-    # (nobs_pad,) permutes rows into cam-sorted order delimited by
-    # `cam_starts` (ncams+1,). Enables scatter-free segment sums
-    # (`ops/segsum.py`).
+    # Sorted-layout metadata (None when unavailable): `pnt_starts`
+    # (npnts+1,) delimits point segments of the rows permuted by `pnt_perm`
+    # (None = rows are already point-sorted, the `from_arrays` layout);
+    # `cam_perm` (nobs_pad,) permutes rows into cam-sorted order delimited
+    # by `cam_starts` (ncams+1,). Enables scatter-free segment sums
+    # (`ops/segsum.py`) and the Pallas tile-reduction kernels.
     pnt_starts: jnp.ndarray | None = None
     cam_perm: jnp.ndarray | None = None
     cam_starts: jnp.ndarray | None = None
+    pnt_perm: jnp.ndarray | None = None
 
     # ----- pytree protocol -------------------------------------------------
     def tree_flatten(self):
         leaves = (self.cams, self.points, self.cam_idx, self.pnt_idx,
                   self.pt2d, self.w, self.pnt_starts, self.cam_perm,
-                  self.cam_starts)
+                  self.cam_starts, self.pnt_perm)
         aux = (self.nobs, self.name)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (cams, points, cam_idx, pnt_idx, pt2d, w, pnt_starts, cam_perm,
-         cam_starts) = leaves
+         cam_starts, pnt_perm) = leaves
         nobs, name = aux
         return cls(cams, points, cam_idx, pnt_idx, pt2d, w, nobs, name,
-                   pnt_starts, cam_perm, cam_starts)
+                   pnt_starts, cam_perm, cam_starts, pnt_perm)
 
     # ----- construction ----------------------------------------------------
     @classmethod
@@ -149,7 +150,8 @@ class BAProblem:
         return BAProblem(self.cams.astype(dtype), self.points.astype(dtype),
                          self.cam_idx, self.pnt_idx, self.pt2d.astype(dtype),
                          self.w.astype(dtype), self.nobs, self.name,
-                         self.pnt_starts, self.cam_perm, self.cam_starts)
+                         self.pnt_starts, self.cam_perm, self.cam_starts,
+                         self.pnt_perm)
 
     # ----- state <-> reference flat layout ----------------------------------
     def state(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -158,7 +160,8 @@ class BAProblem:
     def with_state(self, cams, points) -> "BAProblem":
         return BAProblem(cams, points, self.cam_idx, self.pnt_idx, self.pt2d,
                          self.w, self.nobs, self.name,
-                         self.pnt_starts, self.cam_perm, self.cam_starts)
+                         self.pnt_starts, self.cam_perm, self.cam_starts,
+                         self.pnt_perm)
 
     def flatten_state(self, cams=None, points=None) -> jnp.ndarray:
         """Flat vector in the reference's points-first layout

@@ -38,6 +38,8 @@ def seg_by_pnt(problem: BAProblem, values: jnp.ndarray) -> jnp.ndarray:
     segsum.SORTED_MODE is enabled; see the measured verdict there)."""
     from bundleadjustment_jl_tpu.ops import segsum
     if segsum.SORTED_MODE and problem.pnt_starts is not None:
+        if problem.pnt_perm is not None:
+            values = values[problem.pnt_perm]
         return sorted_segment_sum(values, problem.pnt_starts)
     return segment_sum_scatter(values, problem.pnt_idx, problem.npnts)
 
@@ -59,15 +61,22 @@ class GNBlocks(NamedTuple):
     expansion for a while-carried f32[N,9,3] ({2,1,0:T(8,128)} layout) —
     while 1-D buffers stay packed. The shaped views (``r``, ``Jc``, ``Jp``,
     ``W``, ...) are zero-cost reshapes fused into consumers.
+
+    ``r_f``/``Jc_f``/``Jp_f`` are ``None`` when assembled with
+    ``with_jr=False`` (the hot-solver configuration): the LM step needs only
+    the reduced quantities — ``obj`` (folded into assembly) and the step
+    quadratic form ``||J d||^2`` via :func:`...ops.schur.quad_form` — so the
+    (nobs, 26) raw residual/Jacobian arrays are never written to HBM.
     """
     g_c_f: jnp.ndarray   # flat (ncams*9,)    J_c' r
     g_p_f: jnp.ndarray   # flat (npnts*3,)    J_p' r
     Hcc_f: jnp.ndarray   # flat (ncams*81,)   camera diagonal blocks
     Hpp_f: jnp.ndarray   # flat (npnts*9,)    point diagonal blocks
     W_f: jnp.ndarray     # flat (nobs_pad*27,) per-observation Hcp blocks
-    r_f: jnp.ndarray     # flat (nobs_pad*2,) weighted residuals
-    Jc_f: jnp.ndarray    # flat (nobs_pad*18,)
-    Jp_f: jnp.ndarray    # flat (nobs_pad*6,)
+    obj: jnp.ndarray     # scalar 0.5 ||r||^2 at the linearization point
+    r_f: jnp.ndarray | None = None   # flat (nobs_pad*2,) weighted residuals
+    Jc_f: jnp.ndarray | None = None  # flat (nobs_pad*18,)
+    Jp_f: jnp.ndarray | None = None  # flat (nobs_pad*6,)
 
     @property
     def g_c(self):
@@ -102,10 +111,12 @@ class GNBlocks(NamedTuple):
         return self.Jp_f.reshape(-1, 2, 3)
 
     @classmethod
-    def from_shaped(cls, g_c, g_p, Hcc, Hpp, W, r, Jc, Jp):
+    def from_shaped(cls, g_c, g_p, Hcc, Hpp, W, obj, r=None, Jc=None,
+                    Jp=None):
+        flat = lambda x: None if x is None else x.reshape(-1)  # noqa: E731
         return cls(g_c.reshape(-1), g_p.reshape(-1), Hcc.reshape(-1),
-                   Hpp.reshape(-1), W.reshape(-1), r.reshape(-1),
-                   Jc.reshape(-1), Jp.reshape(-1))
+                   Hpp.reshape(-1), W.reshape(-1), obj, flat(r),
+                   flat(Jc), flat(Jp))
 
 
 def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
@@ -124,7 +135,8 @@ def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
 
 
 def assemble_blocks(problem: BAProblem, cams=None, points=None,
-                    chunk: int | str | None = "auto") -> GNBlocks:
+                    chunk: int | str | None = "auto",
+                    with_jr: bool = True) -> GNBlocks:
     """Linearize at (cams, points) and assemble all Gauss-Newton blocks.
 
     One fused pass: residuals, Jacobian blocks, gradients and Hessian blocks.
@@ -134,6 +146,11 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
 
     ``chunk``: stream the observation axis through a `lax.scan` in chunks of
     this size (bounding temp memory); "auto" picks via :func:`auto_chunk`.
+
+    ``with_jr=False`` (hot-solver path): do not keep the per-observation
+    ``r``/``Jc``/``Jp`` arrays — the LM iteration only needs the reduced
+    blocks, the folded-in ``obj``, and `ops.schur.quad_form` for the step
+    quadratic. Saves ~104 B/obs of HBM writes + the same in later reads.
     """
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
@@ -145,6 +162,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     if chunk is None or n % chunk != 0 or n <= chunk:
         r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
         Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
+        obj = 0.5 * jnp.vdot(r, r)
         g_c = seg_by_cam(problem, jcT_dot(Jc_f, r))
         g_p = seg_by_pnt(problem, jpT_dot(Jp_f, r))
         Hcc = seg_by_cam(problem, jjT_outer(Jc_f, 9, Jc_f, 9)).reshape(
@@ -152,7 +170,9 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         Hpp = seg_by_pnt(problem, jjT_outer(Jp_f, 3, Jp_f, 3)).reshape(
             -1, 3, 3)
         W = jjT_outer(Jc_f, 9, Jp_f, 3)
-        return GNBlocks.from_shaped(g_c, g_p, Hcc, Hpp, W, r, Jc, Jp)
+        if not with_jr:
+            r = Jc = Jp = None
+        return GNBlocks.from_shaped(g_c, g_p, Hcc, Hpp, W, obj, r, Jc, Jp)
 
     from bundleadjustment_jl_tpu.ops.jacobian import rj_raw
     from bundleadjustment_jl_tpu.ops.segsum import segment_sum_scatter
@@ -169,13 +189,15 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
           problem.pt2d.reshape(nchunks, chunk * 2),
           problem.w.reshape(nchunks, chunk))
     carry0 = (jnp.zeros((nc, 9), dt), jnp.zeros((np_, 3), dt),
-              jnp.zeros((nc, 9, 9), dt), jnp.zeros((np_, 3, 3), dt))
+              jnp.zeros((nc, 9, 9), dt), jnp.zeros((np_, 3, 3), dt),
+              jnp.zeros((), dt))
 
     def body(carry, x):
-        g_c, g_p, Hcc, Hpp = carry
+        g_c, g_p, Hcc, Hpp, obj = carry
         ci, pi, xy_f, w = x
         r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(chunk, 2), w)
         Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
+        obj = obj + 0.5 * jnp.vdot(r, r)
         g_c = g_c + segment_sum_scatter(jcT_dot(Jc_f, r), ci, nc)
         g_p = g_p + segment_sum_scatter(jpT_dot(Jp_f, r), pi, np_)
         Hcc = Hcc + segment_sum_scatter(
@@ -183,15 +205,19 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         Hpp = Hpp + segment_sum_scatter(
             jjT_outer(Jp_f, 3, Jp_f, 3), pi, np_).reshape(np_, 3, 3)
         W = jjT_outer(Jc_f, 9, Jp_f, 3)
-        return (g_c, g_p, Hcc, Hpp), (
-            r.reshape(-1), Jc_f, Jp_f, W.reshape(-1))
+        ys = (W.reshape(-1),) if not with_jr else (
+            W.reshape(-1), r.reshape(-1), Jc_f, Jp_f)
+        return (g_c, g_p, Hcc, Hpp, obj), ys
 
-    (g_c, g_p, Hcc, Hpp), (r, Jc, Jp, W) = jax.lax.scan(body, carry0, xs)
+    (g_c, g_p, Hcc, Hpp, obj), ys = jax.lax.scan(body, carry0, xs)
+    W = ys[0]
+    r, Jc, Jp = (ys[1], ys[2], ys[3]) if with_jr else (None, None, None)
+    flat = lambda x: None if x is None else x.reshape(-1)  # noqa: E731
     return GNBlocks(
         g_c_f=g_c.reshape(-1), g_p_f=g_p.reshape(-1),
         Hcc_f=Hcc.reshape(-1), Hpp_f=Hpp.reshape(-1),
-        W_f=W.reshape(-1), r_f=r.reshape(-1),
-        Jc_f=Jc.reshape(-1), Jp_f=Jp.reshape(-1))
+        W_f=W.reshape(-1), obj=obj, r_f=flat(r),
+        Jc_f=flat(Jc), Jp_f=flat(Jp))
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:
@@ -222,13 +248,24 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     H = b * g - a * h
     I = a * e - b * d
     det = a * A + b * D + c * G
-    inv_det = 1.0 / det
+    # Conditioning guard: real BAL data has near-degenerate points whose
+    # damped blocks can reach det <= tiny (underflow) or non-finite entries.
+    # Fall back to the diagonal (Jacobi) inverse there — step stays finite
+    # and roughly scaled; pathological steps are then handled by the LM
+    # reject-and-grow-lambda logic instead of poisoning the whole solve.
+    ok = jnp.isfinite(det) & (det > jnp.finfo(dt).tiny * 8.0)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
     adj = jnp.stack([
         jnp.stack([A, B, C], axis=-1),
         jnp.stack([D, E, F], axis=-1),
         jnp.stack([G, H, I], axis=-1),
     ], axis=-2)
-    return adj * inv_det[..., None, None]
+    inv = adj * inv_det[..., None, None]
+    diag = jnp.stack([a, e, i], axis=-1)
+    dinv = 1.0 / jnp.maximum(jnp.where(jnp.isfinite(diag), diag, 0.0),
+                             jnp.finfo(dt).tiny * 8.0)
+    fallback = dinv[..., :, None] * jnp.eye(3, dtype=dt)
+    return jnp.where(ok[..., None, None], inv, fallback)
 
 
 def damp(H: jnp.ndarray, lam) -> jnp.ndarray:

@@ -18,20 +18,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from bundleadjustment_jl_tpu.models.camera import project
+from bundleadjustment_jl_tpu.models.camera import project_valid
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 
-_project_batch = jax.vmap(project, in_axes=(0, 0))
+_project_batch = jax.vmap(project_valid, in_axes=(0, 0))
 
 
 def residuals(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
-    """Weighted residuals, shape (nobs_pad, 2). Padded rows are exactly 0."""
+    """Weighted residuals, shape (nobs_pad, 2). Padded rows are exactly 0.
+
+    A z == 0 observation is zeroed ENTIRELY (residual, not just projection)
+    — the same convention as `ops.jacobian.rj_raw`, so trial and linearized
+    objectives always agree on which observations count.
+    """
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
     c = cams[problem.cam_idx]       # (nobs_pad, 9) gather
     X = points[problem.pnt_idx]     # (nobs_pad, 3) gather
-    proj = _project_batch(c, X)     # (nobs_pad, 2)
-    return (proj - problem.pt2d) * problem.w[:, None]
+    proj, valid = _project_batch(c, X)   # (nobs_pad, 2), (nobs_pad,)
+    w = problem.w * valid.astype(problem.w.dtype)
+    return (proj - problem.pt2d) * w[:, None]
 
 
 def objective(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:

@@ -53,6 +53,7 @@ class SchurSystem(NamedTuple):
     pnt_starts: jnp.ndarray | None = None
     cam_perm: jnp.ndarray | None = None
     cam_starts: jnp.ndarray | None = None
+    pnt_perm: jnp.ndarray | None = None  # None = rows already point-sorted
 
     @property
     def Hcc_l(self):
@@ -78,6 +79,8 @@ class SchurSystem(NamedTuple):
 def _seg_pnt(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
     from bundleadjustment_jl_tpu.ops import segsum
     if segsum.SORTED_MODE and sys.pnt_starts is not None:
+        if sys.pnt_perm is not None:
+            values = values[sys.pnt_perm]
         return sorted_segment_sum(values, sys.pnt_starts)
     return segment_sum_scatter(values, sys.pnt_idx, sys.Hpp_inv.shape[0])
 
@@ -100,7 +103,8 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       pnt_idx=problem.pnt_idx,
                       pnt_starts=problem.pnt_starts,
                       cam_perm=problem.cam_perm,
-                      cam_starts=problem.cam_starts)
+                      cam_starts=problem.cam_starts,
+                      pnt_perm=problem.pnt_perm)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
     corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp[problem.pnt_idx]))
@@ -159,6 +163,22 @@ def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, dc[sys.cam_idx]))
     return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
+
+
+def quad_form(problem: BAProblem, blocks: GNBlocks,
+              dc: jnp.ndarray, dp: jnp.ndarray) -> jnp.ndarray:
+    """``||J d||^2 = d' (J'J) d`` from the assembled blocks — no Jc/Jp needed.
+
+    Expansion over the block structure:
+    ``dc' Hcc dc + 2 sum_k dc[cam_k]' W_k dp[pnt_k] + dp' Hpp dp``.
+    Mathematically >= 0; lets the solver drop the (nobs, 24) Jacobian
+    arrays entirely (`assemble_blocks(with_jr=False)`).
+    """
+    t_c = jnp.sum(dc * jnp.einsum("cab,cb->ca", blocks.Hcc, dc))
+    t_p = jnp.sum(dp * jnp.einsum("pab,pb->pa", blocks.Hpp, dp))
+    cross = jnp.sum(w_dot_b(blocks.W_f, dp[problem.pnt_idx])
+                    * dc[problem.cam_idx])
+    return t_c + 2.0 * cross + t_p
 
 
 def predicted_reduction(problem: BAProblem, blocks: GNBlocks,

@@ -61,7 +61,22 @@ def shard_problem(problem: BAProblem, mesh: Mesh,
             f"rebuild the problem with pad_obs_to a multiple of {n}")
     obs_sh = NamedSharding(mesh, P(axis_name))
     rep_sh = NamedSharding(mesh, P())
-    put = jax.device_put
+
+    def put(x, sh):
+        # make_array_from_callback works in BOTH single- and multi-process
+        # settings (each process supplies only its addressable shards),
+        # where device_put would reject non-addressable devices. This is
+        # the jax.distributed path for multi-host meshes (SURVEY.md §2.3).
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sh,
+                                            lambda idx: xh[idx])
+
+    def put_opt(x, sh):
+        return None if x is None else put(x, sh)
+
+    # Sorted-layout metadata travels too (VERDICT r1 #7): permutations are
+    # per-observation (sharded); starts arrays are global offsets
+    # (replicated — small, npnts+1 / ncams+1 int32).
     return BAProblem(
         cams=put(problem.cams, rep_sh),
         points=put(problem.points, rep_sh),
@@ -69,4 +84,8 @@ def shard_problem(problem: BAProblem, mesh: Mesh,
         pnt_idx=put(problem.pnt_idx, obs_sh),
         pt2d=put(problem.pt2d, obs_sh),
         w=put(problem.w, obs_sh),
-        nobs=problem.nobs, name=problem.name)
+        nobs=problem.nobs, name=problem.name,
+        pnt_starts=put_opt(problem.pnt_starts, rep_sh),
+        cam_perm=put_opt(problem.cam_perm, obs_sh),
+        cam_starts=put_opt(problem.cam_starts, rep_sh),
+        pnt_perm=put_opt(problem.pnt_perm, obs_sh))

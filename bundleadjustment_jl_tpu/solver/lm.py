@@ -8,7 +8,9 @@ logic keeps the reference's *known-good hyperparameters* (SURVEY.md §8):
 - accept iff ared >= 1e-4 * pred                            (`lm.jl:251-260`)
 - accept: lambda /= 3, extra /3 when ared >= 0.9 * pred,
   floor 1e-8                                                (`lm.jl:329-337`)
-- reject: lambda = max(lambda, 1/||delta||) * 3^(nrejects)  (`lm.jl:306-308`)
+- reject: lambda = max(lambda, 1/||delta||) * 3^(halvings+1) (`lm.jl:306-308`,
+  ntimes = linesearch halvings this iteration; one factor 3 per reject
+  without linesearch)
 - optional linesearch: up to 4 step-halvings on reject      (`lm.jl:263-295`)
 - stopping: small_step / first_order / small_residual /
   small_obj_change / tired                                  (`lm.jl:111-123`)
@@ -150,11 +152,11 @@ class LMResult:
 # Jitted device kernels shared by both drivers
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _linearize(problem: BAProblem, cams, points):
+@partial(jax.jit, static_argnames=("with_jr",))
+def _linearize(problem: BAProblem, cams, points, with_jr: bool = True):
     """Residuals + all GN blocks + scalars at the current iterate."""
-    blocks = assemble_blocks(problem, cams, points)
-    obj = 0.5 * jnp.vdot(blocks.r, blocks.r)
+    blocks = assemble_blocks(problem, cams, points, with_jr=with_jr)
+    obj = blocks.obj
     gnorm = gradient_norm(blocks)
     rnorm = jnp.sqrt(2.0 * obj)
     return blocks, obj, gnorm, rnorm
@@ -204,10 +206,14 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
         dc, cg_iters = res.x, res.iters
         dp = back_substitute(sys, dc)
     gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
-    from bundleadjustment_jl_tpu.ops.blockmul import jc_dot, jp_dot
-    Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
-          + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
-    Jd2 = jnp.sum(Jd * Jd)
+    if method == "cgls":
+        from bundleadjustment_jl_tpu.ops.blockmul import jc_dot, jp_dot
+        Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
+              + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
+        Jd2 = jnp.sum(Jd * Jd)
+    else:
+        from bundleadjustment_jl_tpu.ops.schur import quad_form
+        Jd2 = quad_form(problem, blocks, dc, dp)
     dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
     return dc, dp, gd, Jd2, dnorm, cg_iters
 
@@ -258,8 +264,10 @@ def levenberg_marquardt(problem: BAProblem,
 
     t0 = time.perf_counter()
     nres = njac = 0
+    with_jr = opts.solver == "cgls"
 
-    blocks, obj, gnorm, rnorm = _linearize(problem, cams, points)
+    blocks, obj, gnorm, rnorm = _linearize(problem, cams, points,
+                                           with_jr=with_jr)
     nres += 1
     njac += 1
     obj0, gnorm0 = float(obj), float(gnorm)
@@ -321,7 +329,7 @@ def levenberg_marquardt(problem: BAProblem,
                 lam *= nu
                 nu *= 2.0
             else:
-                lam = lam * opts.nu_m ** nrejects
+                lam = lam * opts.nu_m
             it += 1
             history.append({"iter": it - 1, "obj": float(obj),
                             "gnorm": float(gnorm), "lam": lam,
@@ -367,7 +375,8 @@ def levenberg_marquardt(problem: BAProblem,
         if accepted:
             prev_obj = float(obj)
             cams, points = cams_t, points_t
-            blocks, obj, gnorm, rnorm = _linearize(problem, cams, points)
+            blocks, obj, gnorm, rnorm = _linearize(problem, cams, points,
+                                                   with_jr=with_jr)
             nres += 1
             njac += 1
             nrejects = 0
@@ -395,9 +404,10 @@ def levenberg_marquardt(problem: BAProblem,
                 lam *= nu
                 nu *= 2.0
             else:
-                # lambda increase (`lm.jl:306-308`)
+                # lambda increase (`lm.jl:306-308`): nu_m^(ntimes+1) with
+                # ntimes = halvings tried this iteration (len(scales)-1)
                 lam = (max(lam, 1.0 / max(dnorm, 1e-300))
-                       * opts.nu_m ** nrejects)
+                       * opts.nu_m ** len(scales))
             it += 1
 
     else:

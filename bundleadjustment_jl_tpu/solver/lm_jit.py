@@ -8,9 +8,17 @@ acceptance, stopping tests) but with all control flow as traced `lax.cond`/
 pays Julia<->C FFI and host orchestration every iteration; here the only
 host interaction is the final result fetch.
 
+Two drivers share one compiled iteration body:
+
+- :func:`levenberg_marquardt_jit` — the full solve in a single
+  `lax.while_loop` (one init dispatch + one loop dispatch).
+- :func:`levenberg_marquardt_jit_chunked` — the same loop segmented into
+  host-checked chunks of K iterations, which restores the two reference
+  capabilities a single compiled loop cannot express: the ``max_time``
+  wall-clock stop (`/root/reference/src/lm.jl:26,118`, the ``tired`` test)
+  and true checkpoint/resume (SURVEY.md §6) for Final-scale runs.
+
 Differences from the host-stepped driver (both documented):
-- ``max_time`` is not enforced (no host clock inside jit); bound work with
-  ``max_iters``.
 - linesearch evaluates all candidate scales in one batched pass when
   enabled (the reference halves sequentially, `lm.jl:263-295`).
 - history is recorded into fixed (max_iters,) device arrays.
@@ -18,8 +26,9 @@ Differences from the host-stepped driver (both documented):
 
 from __future__ import annotations
 
+import time
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +40,8 @@ from bundleadjustment_jl_tpu.ops.pcg import (
     block_cho_solve, block_cholesky, forcing_rtol, pcg)
 from bundleadjustment_jl_tpu.ops.residuals import residuals
 from bundleadjustment_jl_tpu.ops.schur import (
-    back_substitute, reduce_system, schur_diag_blocks, schur_matvec,
-    solve_dense)
+    back_substitute, quad_form, reduce_system, schur_diag_blocks,
+    schur_matvec, solve_dense)
 
 # Status codes (mapping of the reference's statuses, `lm.jl:391-405`)
 RUNNING = 0
@@ -42,6 +51,7 @@ SMALL_STEP = 3
 SMALL_OBJ_CHANGE = 4
 MAX_ITER = 5
 EXCEPTION = 6
+MAX_TIME = 7
 
 STATUS_NAMES = {
     FIRST_ORDER: "first_order",
@@ -50,8 +60,14 @@ STATUS_NAMES = {
     SMALL_OBJ_CHANGE: "small_obj_change",
     MAX_ITER: "max_iter",
     EXCEPTION: "exception",
+    MAX_TIME: "max_time",
     RUNNING: "running",
 }
+
+# Static configuration shared by the jitted init/segment kernels.
+_STATIC = ("max_iters", "pcg_max_iters", "use_dense", "use_cgls",
+           "use_power", "linesearch", "ls_max", "lam0_mode", "lam_strategy",
+           "use_forcing", "facto_dtype")
 
 
 class LMJitResult(NamedTuple):
@@ -66,22 +82,23 @@ class LMJitResult(NamedTuple):
     hist_gnorm: jnp.ndarray
     hist_lam: jnp.ndarray
     hist_cg: jnp.ndarray
+    # Evaluation counters (the reference's neval_cons/neval_jac bookkeeping,
+    # `BALNLPModels.jl:116,126,162`): exact int32 carried in the while-loop.
+    naccepts: jnp.ndarray = None
+    elapsed_time: float = float("nan")  # wall seconds (chunked driver only)
 
     def status_name(self) -> str:
         return STATUS_NAMES[int(self.status)]
 
-    # Evaluation counters (the reference's neval_cons/neval_jac bookkeeping,
-    # `BALNLPModels.jl:116,126,162`): per iteration the jit driver runs
-    # n_scales trial residual evaluations plus one linearization (residual +
-    # Jacobian) on accepted steps; +1 each for the initial linearization.
     @property
     def neval_jac(self) -> int:
-        accepts = int((self.hist_obj[1:int(self.iterations)]
-                       != self.hist_obj[:int(self.iterations) - 1]).sum()) + 1
-        return accepts + 1
+        # one linearization per accepted step + the initial one
+        return int(self.naccepts) + 1
 
     @property
     def neval_residual(self) -> int:
+        # one trial objective per iteration (n_scales with linesearch is
+        # still one batched evaluation) + the linearization residuals
         return int(self.iterations) + self.neval_jac
 
 
@@ -90,73 +107,104 @@ def _objective(problem, cams, points):
     return 0.5 * jnp.vdot(r, r)
 
 
-@partial(jax.jit, static_argnames=(
-    "max_iters", "pcg_max_iters", "use_dense", "use_cgls", "use_power",
-    "linesearch", "ls_max", "lam0_mode", "lam_strategy"))
-def levenberg_marquardt_jit(
-    problem: BAProblem, cams=None, points=None, *,
-    max_iters: int = 200,
-    lam0=None, lam0_mode: str = "ref",
-    atol=None, rtol=None, restol=None, satol=None, srtol=None,
-    oatol=None, ortol=None,
-    nu_d=3.0, nu_m=3.0, accept_ratio=1e-4, good_ratio=0.9, lam_min=1e-8,
-    lam_strategy: str = "ref",
-    pcg_rtol=None, pcg_max_iters: int = 100,
-    use_dense: bool = False, use_cgls: bool = False,
-    use_power: bool = False,
-    linesearch: bool = False, ls_max: int = 4,
-) -> LMJitResult:
-    """One-call LM solve; every option is a traced scalar except the static
-    structure/iteration-bound flags. ``None`` tolerances resolve to the
+def _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol, ortol,
+                nu_d, nu_m, accept_ratio, good_ratio, lam_min, pcg_rtol):
+    """Traced hyperparameter dict; ``None`` tolerances resolve to the
     reference defaults in the working dtype (`lm.jl:21-24`)."""
-    cams = problem.cams if cams is None else cams
-    points = problem.points if points is None else points
-    dtype = cams.dtype
     eps = jnp.finfo(dtype).eps
     cbrt = eps ** (1.0 / 3.0)
     sqrt_ = jnp.sqrt(eps)
-    atol = sqrt_ if atol is None else atol
-    rtol = cbrt if rtol is None else rtol
-    restol = cbrt if restol is None else restol
-    satol = sqrt_ if satol is None else satol
-    srtol = sqrt_ if srtol is None else srtol
-    oatol = sqrt_ if oatol is None else oatol
-    ortol = cbrt if ortol is None else ortol
+    pick = lambda v, d: jnp.asarray(d if v is None else v, dtype)  # noqa
+    return dict(
+        atol=pick(atol, sqrt_), rtol=pick(rtol, cbrt),
+        restol=pick(restol, cbrt), satol=pick(satol, sqrt_),
+        srtol=pick(srtol, sqrt_), oatol=pick(oatol, sqrt_),
+        ortol=pick(ortol, cbrt), nu_d=pick(nu_d, 3.0),
+        nu_m=pick(nu_m, 3.0), accept_ratio=pick(accept_ratio, 1e-4),
+        good_ratio=pick(good_ratio, 0.9), lam_min=pick(lam_min, 1e-8),
+        pcg_rtol=pick(pcg_rtol, 0.0),
+    )
 
-    def linearize(c, p):
-        blocks = assemble_blocks(problem, c, p)
-        obj = 0.5 * jnp.vdot(blocks.r, blocks.r)
-        return blocks, obj, gradient_norm(blocks)
 
-    blocks0, obj0, gnorm0 = linearize(cams, points)
-    if lam0 is not None:
-        lam_init = jnp.asarray(lam0, dtype)
-    elif lam0_mode == "diag":
+def _maybe_cast_facto(blocks, facto_dtype):
+    """Low-precision storage of the factorization operands — the TPU-native
+    heir of the reference's ``facto_type`` mixed precision (`lm.jl:99`
+    passing the type into `ldl_analyse`; low-type L storage
+    `ldl_aux.jl:272-282`). The outer LM (residuals, gradients, acceptance,
+    tolerances) stays in the working dtype; only the bulk per-observation
+    ``W`` blocks and the diagonal Hessian blocks are stored in
+    ``facto_dtype`` (bf16 halves the dominant HBM traffic of the PCG
+    matvec). Products accumulate in f32 on the MXU."""
+    if facto_dtype is None:
+        return blocks
+    fd = jnp.dtype(facto_dtype)
+    return blocks._replace(
+        W_f=blocks.W_f.astype(fd),
+        Hcc_f=blocks.Hcc_f.astype(fd),
+        Hpp_f=blocks.Hpp_f.astype(fd))
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
+             pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
+             ls_max, lam0_mode, lam_strategy, use_forcing, facto_dtype):
+    """Initial linearization + solver state (one compiled dispatch)."""
+    del pcg_max_iters, use_dense, use_power, linesearch, ls_max
+    del lam_strategy, use_forcing
+    dtype = cams.dtype
+    blocks0 = assemble_blocks(problem, cams, points, with_jr=use_cgls)
+    obj0 = blocks0.obj
+    gnorm0 = gradient_norm(blocks0)
+    blocks0 = _maybe_cast_facto(blocks0, facto_dtype)
+
+    if lam0_mode == "diag":
         # Madsen-Nielsen-style: lambda_0 = tau * max diag(J'J) — scale-aware,
         # unlike the reference's 1e10/||J'r|| which assumes BAL-sized
         # gradient norms (`lm.jl:59`).
         maxdiag = jnp.maximum(
             jnp.max(jnp.einsum("caa->ca", blocks0.Hcc)),
-            jnp.max(jnp.einsum("paa->pa", blocks0.Hpp)))
+            jnp.max(jnp.einsum("paa->pa", blocks0.Hpp))).astype(dtype)
         lam_init = 1e-3 * maxdiag
     else:
-        lam_init = jnp.maximum(30.0, 1e10 / jnp.maximum(gnorm0, 1e-300))
-    gtol = atol + rtol * gnorm0        # fixed at entry (`lm.jl:111-114`)
+        lam_init = jnp.maximum(
+            30.0, 1e10 / jnp.maximum(gnorm0, 1e-300)).astype(dtype)
 
     zeros_h = jnp.zeros((max_iters,), dtype)
     zeros_i = jnp.zeros((max_iters,), jnp.int32)
     # cams/points travel FLAT in the carry: TPU tile-pads while-carried
     # (N, 3)/(N, 9) buffers (measured 42x for f32[npnts,3]); 1-D stays packed.
-    state0 = dict(
+    return dict(
         cams=cams.reshape(-1), points=points.reshape(-1),
         blocks=blocks0, obj=obj0, gnorm=gnorm0,
         lam=lam_init, it=jnp.asarray(0, jnp.int32),
+        it_max=jnp.asarray(max_iters, jnp.int32),
+        gtol=hp["atol"] + hp["rtol"] * gnorm0,   # fixed at entry
+        #                                          (`lm.jl:111-114`)
         nrejects=jnp.asarray(0, jnp.int32),
+        naccepts=jnp.asarray(0, jnp.int32),
         nu=jnp.asarray(2.0, dtype),
         status=jnp.asarray(RUNNING, jnp.int32),
         hist_obj=zeros_h, hist_gnorm=zeros_h, hist_lam=zeros_h,
         hist_cg=zeros_i,
     )
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
+            use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
+            lam_strategy, use_forcing, facto_dtype):
+    """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
+    del lam0_mode
+    dtype = state["cams"].dtype
+
+    def linearize(c, p):
+        # Hot path keeps only the reduced blocks (with_jr=False): obj is
+        # folded into assembly and ||J d||^2 comes from quad_form, so the
+        # (nobs, 26) r/Jc/Jp arrays never hit HBM. CGLS iterates on J
+        # directly and is the one solver that still needs them.
+        blocks = assemble_blocks(problem, c, p, with_jr=use_cgls)
+        return (_maybe_cast_facto(blocks, facto_dtype), blocks.obj,
+                gradient_norm(blocks))
 
     # scales tried per iteration: [1] or [1, 1/2, ..., 1/2^ls_max]
     scales = jnp.asarray(
@@ -164,7 +212,8 @@ def levenberg_marquardt_jit(
                  if linesearch else []), dtype)
 
     def cond(st):
-        return jnp.logical_and(st["it"] < max_iters, st["status"] == RUNNING)
+        return jnp.logical_and(st["it"] < st["it_max"],
+                               st["status"] == RUNNING)
 
     def body(st):
         blocks, lam = st["blocks"], st["lam"]
@@ -172,8 +221,9 @@ def levenberg_marquardt_jit(
         points = st["points"].reshape(-1, 3)
         obj, gnorm = st["obj"], st["gnorm"]
 
-        rtol_cg = (jnp.asarray(pcg_rtol, dtype) if pcg_rtol is not None
-                   else forcing_rtol(gnorm))
+        rtol_cg = (forcing_rtol(gnorm) if use_forcing
+                   else hp["pcg_rtol"]).astype(dtype)
+        lam_f = lam.astype(blocks.W_f.dtype)
         if use_cgls:
             from bundleadjustment_jl_tpu.ops.cgls import cgls_solve
             cres = cgls_solve(problem, blocks, lam, rtol=rtol_cg,
@@ -181,7 +231,7 @@ def levenberg_marquardt_jit(
             dc, dp, cg_iters = cres.dc, cres.dp, cres.iters
         elif use_power:
             from bundleadjustment_jl_tpu.ops.pcg import power_series
-            sys = reduce_system(problem, blocks, lam)
+            sys = reduce_system(problem, blocks, lam_f)
             L_M = block_cholesky(sys.Hcc_l)
             pres = power_series(
                 lambda v: schur_matvec(sys, v), sys.b,
@@ -191,23 +241,28 @@ def levenberg_marquardt_jit(
             dc, cg_iters = pres.x, pres.iters
             dp = back_substitute(sys, dc)
         elif use_dense:
-            sys = reduce_system(problem, blocks, lam)
+            sys = reduce_system(problem, blocks, lam_f)
             dc = solve_dense(sys)
             dp = back_substitute(sys, dc)
             cg_iters = jnp.asarray(0, jnp.int32)
         else:
-            sys = reduce_system(problem, blocks, lam)
+            sys = reduce_system(problem, blocks, lam_f)
             L = block_cholesky(schur_diag_blocks(sys))
             res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                       lambda v: block_cho_solve(L, v),
                       rtol=rtol_cg, max_iters=pcg_max_iters)
             dc, cg_iters = res.x, res.iters
             dp = back_substitute(sys, dc)
+        dc = dc.astype(dtype)
+        dp = dp.astype(dtype)
 
         gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
-        Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
-              + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
-        Jd2 = jnp.sum(Jd * Jd)
+        if use_cgls:
+            Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
+                  + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
+            Jd2 = jnp.sum(Jd * Jd)
+        else:
+            Jd2 = quad_form(problem, blocks, dc, dp).astype(dtype)
         dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
         xnorm = jnp.sqrt(jnp.sum(cams ** 2) + jnp.sum(points ** 2))
 
@@ -219,7 +274,8 @@ def levenberg_marquardt_jit(
         nan_step = jnp.logical_not(jnp.isfinite(dnorm))
         fatal_nan = jnp.logical_and(nan_step, lam > 1e20)
         small_step = jnp.logical_and(jnp.logical_not(nan_step),
-                                     dnorm < satol + srtol * xnorm)
+                                     dnorm < hp["satol"]
+                                     + hp["srtol"] * xnorm)
 
         # Evaluate all trial scales in one pass; pick the first acceptable
         # (scale 1.0 first, so plain LM when linesearch=False).
@@ -230,7 +286,7 @@ def levenberg_marquardt_jit(
         preds = -scales * gd - 0.5 * scales * scales * Jd2
         areds = obj - objs_t
         ok = jnp.logical_and(
-            jnp.logical_and(preds > 0, areds >= accept_ratio * preds),
+            jnp.logical_and(preds > 0, areds >= hp["accept_ratio"] * preds),
             jnp.isfinite(objs_t))
         any_ok = jnp.any(ok)
         first = jnp.argmax(ok)          # index of first True
@@ -238,6 +294,7 @@ def levenberg_marquardt_jit(
         obj_t = objs_t[first]
         pred = preds[first]
         ared = areds[first]
+        del obj_t
 
         accept = jnp.logical_and(any_ok,
                                  jnp.logical_not(nan_step))
@@ -250,16 +307,22 @@ def levenberg_marquardt_jit(
             rho = jnp.where(pred > 0, ared / pred, -jnp.inf)
             lam_acc = jnp.maximum(
                 lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
-                lam_min)
+                hp["lam_min"])
             lam_rej = lam * st["nu"]
             nu_new = jnp.where(accept, 2.0, st["nu"] * 2.0).astype(dtype)
         else:
             lam_acc = jnp.maximum(
-                lam / nu_d / jnp.where(ared >= good_ratio * pred, nu_d, 1.0),
-                lam_min)
+                lam / hp["nu_d"]
+                / jnp.where(ared >= hp["good_ratio"] * pred, hp["nu_d"], 1.0),
+                hp["lam_min"])
             dnorm_safe = jnp.where(jnp.isfinite(dnorm), dnorm, jnp.inf)
+            # Reference reject rule `lm.jl:306-308`:
+            # lambda = max(lambda, 1/||delta||) * nu_m^(ntimes+1) with
+            # ntimes = linesearch halvings this iteration (0 without
+            # linesearch -> one factor nu_m per reject, NOT cumulative).
+            n_halvings = ls_max if linesearch else 0
             lam_rej = (jnp.maximum(lam, 1.0 / jnp.maximum(dnorm_safe, 1e-300))
-                       * nu_m ** nrej_new.astype(dtype))
+                       * hp["nu_m"] ** (n_halvings + 1))
             nu_new = st["nu"]
         lam_new = jnp.where(accept, lam_acc, lam_rej)
 
@@ -275,14 +338,15 @@ def levenberg_marquardt_jit(
             accept, on_accept, on_reject, None)
 
         small_obj = jnp.logical_and(
-            accept, obj - obj_n < oatol + ortol * jnp.abs(obj))
+            accept, obj - obj_n < hp["oatol"] + hp["ortol"] * jnp.abs(obj))
 
         rnorm_n = jnp.sqrt(2.0 * obj_n)
         status = jnp.where(
             fatal_nan, EXCEPTION,
             jnp.where(small_step, SMALL_STEP,
-                      jnp.where(gnorm_n < gtol, FIRST_ORDER,
-                                jnp.where(rnorm_n < restol, SMALL_RESIDUAL,
+                      jnp.where(gnorm_n < st["gtol"], FIRST_ORDER,
+                                jnp.where(rnorm_n < hp["restol"],
+                                          SMALL_RESIDUAL,
                                           jnp.where(small_obj,
                                                     SMALL_OBJ_CHANGE,
                                                     RUNNING))))
@@ -291,7 +355,9 @@ def levenberg_marquardt_jit(
         it = st["it"]
         return dict(
             cams=cams_n, points=points_n, blocks=blocks_n, obj=obj_n,
-            gnorm=gnorm_n, lam=lam_new, it=it + 1, nrejects=nrej_new,
+            gnorm=gnorm_n, lam=lam_new, it=it + 1, it_max=st["it_max"],
+            gtol=st["gtol"], nrejects=nrej_new,
+            naccepts=st["naccepts"] + accept.astype(jnp.int32),
             nu=nu_new, status=status,
             hist_obj=st["hist_obj"].at[it].set(obj),
             hist_gnorm=st["hist_gnorm"].at[it].set(gnorm),
@@ -299,12 +365,179 @@ def levenberg_marquardt_jit(
             hist_cg=st["hist_cg"].at[it].set(cg_iters),
         )
 
-    st = jax.lax.while_loop(cond, body, state0)
-    status = jnp.where(st["status"] == RUNNING, MAX_ITER,
-                       st["status"]).astype(jnp.int32)
+    del max_iters
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _finalize(st, final_status=None, elapsed=float("nan")) -> LMJitResult:
+    status = int(st["status"])
+    if status == RUNNING:
+        status = MAX_ITER if final_status is None else final_status
     return LMJitResult(
         cams=st["cams"].reshape(-1, 9), points=st["points"].reshape(-1, 3),
         objective=st["obj"],
-        dual_feas=st["gnorm"], iterations=st["it"], status=status,
+        dual_feas=st["gnorm"], iterations=st["it"],
+        status=jnp.asarray(status, jnp.int32),
         hist_obj=st["hist_obj"], hist_gnorm=st["hist_gnorm"],
-        hist_lam=st["hist_lam"], hist_cg=st["hist_cg"])
+        hist_lam=st["hist_lam"], hist_cg=st["hist_cg"],
+        naccepts=st["naccepts"], elapsed_time=elapsed)
+
+
+def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
+                   atol, rtol, restol, satol, srtol, oatol, ortol,
+                   nu_d, nu_m, accept_ratio, good_ratio, lam_min,
+                   lam_strategy, pcg_rtol, pcg_max_iters, use_dense,
+                   use_cgls, use_power, linesearch, ls_max, facto_dtype):
+    cams = problem.cams if cams is None else cams
+    points = problem.points if points is None else points
+    hp = _resolve_hp(cams.dtype, atol, rtol, restol, satol, srtol, oatol,
+                     ortol, nu_d, nu_m, accept_ratio, good_ratio, lam_min,
+                     pcg_rtol)
+    static = dict(max_iters=max_iters, pcg_max_iters=pcg_max_iters,
+                  use_dense=use_dense, use_cgls=use_cgls,
+                  use_power=use_power, linesearch=linesearch, ls_max=ls_max,
+                  lam0_mode=lam0_mode, lam_strategy=lam_strategy,
+                  use_forcing=pcg_rtol is None,
+                  facto_dtype=(None if facto_dtype is None
+                               else jnp.dtype(facto_dtype).name))
+    return cams, points, hp, static
+
+
+def levenberg_marquardt_jit(
+    problem: BAProblem, cams=None, points=None, *,
+    max_iters: int = 200,
+    lam0=None, lam0_mode: str = "ref",
+    atol=None, rtol=None, restol=None, satol=None, srtol=None,
+    oatol=None, ortol=None,
+    nu_d=3.0, nu_m=3.0, accept_ratio=1e-4, good_ratio=0.9, lam_min=1e-8,
+    lam_strategy: str = "ref",
+    pcg_rtol=None, pcg_max_iters: int = 100,
+    use_dense: bool = False, use_cgls: bool = False,
+    use_power: bool = False,
+    linesearch: bool = False, ls_max: int = 4,
+    facto_dtype=None,
+) -> LMJitResult:
+    """One-call LM solve; every option is a traced scalar except the static
+    structure/iteration-bound flags. ``None`` tolerances resolve to the
+    reference defaults in the working dtype (`lm.jl:21-24`).
+
+    ``facto_dtype``: store the per-observation ``W`` and diagonal Hessian
+    blocks in this dtype (e.g. ``jnp.bfloat16``) inside a full-precision LM
+    loop — the TPU-native equivalent of the reference's low-precision
+    factorization (`lm.jl:99`, `ldl_aux.jl:272-282`); halves the dominant
+    HBM traffic of the PCG matvec at bf16.
+    """
+    cams, points, hp, static = _split_options(
+        problem, cams, points, max_iters, lam0, lam0_mode, atol, rtol,
+        restol, satol, srtol, oatol, ortol, nu_d, nu_m, accept_ratio,
+        good_ratio, lam_min, lam_strategy, pcg_rtol, pcg_max_iters,
+        use_dense, use_cgls, use_power, linesearch, ls_max, facto_dtype)
+    state = _lm_init(problem, cams, points, hp, **static)
+    if lam0 is not None:
+        state = dict(state, lam=jnp.asarray(lam0, cams.dtype))
+    st = _lm_run(problem, state, hp, **static)
+    return _finalize(st)
+
+
+def levenberg_marquardt_jit_chunked(
+    problem: BAProblem, cams=None, points=None, *,
+    max_iters: int = 200,
+    chunk_iters: int = 25,
+    max_time: Optional[float] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,          # in chunks
+    resume: bool = False,
+    callback=None,
+    **options,
+) -> LMJitResult:
+    """LM solve segmented into host-checked chunks of ``chunk_iters``.
+
+    Same compiled iteration body as :func:`levenberg_marquardt_jit` (the
+    segment kernel compiles once and is reused), with host control between
+    segments providing:
+
+    - ``max_time``: wall-clock bound, honored within one chunk — the
+      reference's ``tired`` test (`lm.jl:26,118`; default there 3600 s).
+    - ``checkpoint_dir``: write a ``step-<n>.npz`` checkpoint after every
+      ``checkpoint_every`` chunks (cams/points/lambda/iteration + the
+      entry-fixed gradient threshold, so a resumed run continues the exact
+      stopping test).
+    - ``resume=True``: restore the latest checkpoint from
+      ``checkpoint_dir`` before solving.
+    - ``callback(dict)``: called after each chunk with scalar progress.
+
+    All remaining keyword ``options`` are those of
+    :func:`levenberg_marquardt_jit`.
+    """
+    lam0 = options.pop("lam0", None)
+    cams, points, hp, static = _split_options(
+        problem, cams, points, max_iters,
+        lam0, options.pop("lam0_mode", "ref"),
+        options.pop("atol", None), options.pop("rtol", None),
+        options.pop("restol", None), options.pop("satol", None),
+        options.pop("srtol", None), options.pop("oatol", None),
+        options.pop("ortol", None), options.pop("nu_d", 3.0),
+        options.pop("nu_m", 3.0), options.pop("accept_ratio", 1e-4),
+        options.pop("good_ratio", 0.9), options.pop("lam_min", 1e-8),
+        options.pop("lam_strategy", "ref"), options.pop("pcg_rtol", None),
+        options.pop("pcg_max_iters", 100), options.pop("use_dense", False),
+        options.pop("use_cgls", False), options.pop("use_power", False),
+        options.pop("linesearch", False), options.pop("ls_max", 4),
+        options.pop("facto_dtype", None))
+    if options:
+        raise TypeError(f"unknown options: {sorted(options)}")
+
+    ckpt_mgr = None
+    restored = None
+    if checkpoint_dir is not None:
+        from bundleadjustment_jl_tpu.utils.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(checkpoint_dir, every=1)
+        if resume:
+            restored = ckpt_mgr.restore_latest()
+            if restored is not None:
+                cams = jnp.asarray(restored["cams"], cams.dtype)
+                points = jnp.asarray(restored["points"], points.dtype)
+
+    t0 = time.perf_counter()
+    state = _lm_init(problem, cams, points, hp, **static)
+    if restored is not None:
+        state = dict(
+            state,
+            lam=jnp.asarray(restored["lam"], cams.dtype),
+            it=jnp.asarray(restored["iteration"], jnp.int32))
+        gtol = restored["meta"].get("gtol")
+        if gtol is not None:
+            state["gtol"] = jnp.asarray(gtol, cams.dtype)
+    elif lam0 is not None:
+        state = dict(state, lam=jnp.asarray(lam0, cams.dtype))
+
+    final_status = None
+    nchunk = 0
+    while True:
+        it = int(state["it"])
+        if int(state["status"]) != RUNNING or it >= max_iters:
+            break
+        if max_time is not None and time.perf_counter() - t0 > max_time:
+            final_status = MAX_TIME
+            break
+        state = dict(state, it_max=jnp.asarray(
+            min(it + chunk_iters, max_iters), jnp.int32))
+        state = _lm_run(problem, state, hp, **static)
+        nchunk += 1
+        if ckpt_mgr is not None and nchunk % max(1, checkpoint_every) == 0:
+            ckpt_mgr.maybe_save(
+                int(state["it"]), state["cams"].reshape(-1, 9),
+                state["points"].reshape(-1, 3), lam=float(state["lam"]),
+                meta={"objective": float(state["obj"]),
+                      "gtol": float(state["gtol"]),
+                      "problem": problem.name})
+        if callback is not None:
+            callback({"iter": int(state["it"]),
+                      "obj": float(state["obj"]),
+                      "gnorm": float(state["gnorm"]),
+                      "lam": float(state["lam"]),
+                      "status": STATUS_NAMES[int(state["status"])],
+                      "elapsed": time.perf_counter() - t0})
+
+    return _finalize(state, final_status=final_status,
+                     elapsed=time.perf_counter() - t0)

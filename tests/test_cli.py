@@ -53,8 +53,8 @@ def test_cli_mesh_flag(capsys):
     assert stats["status"] != "exception"
 
 
-@pytest.mark.skipif(os.environ.get("BA_TPU_SUBPROC_TESTS") != "1",
-                    reason="subprocess test is slow (fresh jax import)")
+@pytest.mark.skipif(os.environ.get("BA_TPU_SUBPROC_TESTS") == "0",
+                    reason="subprocess test disabled via env")
 def test_cli_entrypoint_subprocess():
     proc = subprocess.run(
         [sys.executable, "-m", "bundleadjustment_jl_tpu",
