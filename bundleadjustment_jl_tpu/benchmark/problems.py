@@ -19,7 +19,10 @@ from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 
 # (family, ncams, npnts, nobs) of the reference's benchmark set
-# (BASELINE.md; names follow BAL "problem-<ncams>-<npnts>-pre").
+# (BASELINE.md; names follow BAL "problem-<ncams>-<npnts>-pre"), plus the
+# BASELINE.json north-star configs the reference never ran: Trafalgar-257
+# (downloaded by `get_data.sh` but absent from every reference log),
+# Venice-1778 and Final-13682 (beyond its single-node design).
 BAL_SIZES = [
     ("LadyBug", 49, 7776, 31843),
     ("LadyBug", 73, 11032, 46122),
@@ -29,10 +32,13 @@ BAL_SIZES = [
     ("LadyBug", 646, 73584, 327297),
     ("LadyBug", 810, 88814, 393775),
     ("LadyBug", 1031, 110968, 500265),
+    ("Trafalgar", 257, 65132, 225911),
     ("Dubrovnik", 202, 132796, 751652),
     ("Dubrovnik", 356, 226730, 1255268),
     ("Venice", 427, 310384, 1699145),
     ("Venice", 1350, 894716, 4517126),
+    ("Venice", 1778, 993923, 5001946),
+    ("Final", 13682, 4456117, 28987644),
 ]
 
 

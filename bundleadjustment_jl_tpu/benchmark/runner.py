@@ -18,8 +18,8 @@ SOLVED_STATUSES = ("first_order", "small_residual", "small_step",
                    "small_obj_change")  # `benchmark.jl:69-86`
 
 COLUMNS = ("problem", "solver", "status", "objective", "rmse_px",
-           "iterations", "elapsed_s", "neval_residual", "neval_jac",
-           "dual_feas", "nvar", "nequ")
+           "iterations", "elapsed_s", "compile_s", "neval_residual",
+           "neval_jac", "dual_feas", "nvar", "nequ")
 
 
 def run_campaign(solvers: Dict[str, Callable],
@@ -52,6 +52,7 @@ def run_campaign(solvers: Dict[str, Callable],
                     "rmse_px": (2.0 * obj / max(problem.nequ, 1)) ** 0.5,
                     "iterations": int(getattr(res, "iterations")),
                     "elapsed_s": float(getattr(res, "elapsed_time", elapsed)),
+                    "compile_s": float(getattr(res, "compile_time", 0.0)),
                     "neval_residual": int(getattr(res, "neval_residual", -1)),
                     "neval_jac": int(getattr(res, "neval_jac", -1)),
                     "dual_feas": float(getattr(res, "dual_feas")),
