@@ -1,0 +1,90 @@
+"""Chunked jit driver: checkpoint/resume, max_time, parity with one-shot.
+
+Covers the two reference capabilities a single compiled while_loop cannot
+express — the ``tired`` wall-clock stop (`reference/src/lm.jl:26,118`) and
+true checkpoint/resume (SURVEY.md §6) — plus the mixed-precision
+``facto_dtype`` mode (`lm.jl:99`, low-type storage `ldl_aux.jl:272-282`).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
+from bundleadjustment_jl_tpu.solver.lm_jit import (
+    MAX_TIME, STATUS_NAMES, levenberg_marquardt_jit,
+    levenberg_marquardt_jit_chunked)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    p, _ = synthetic_bal(ncams=8, npnts=120, obs_per_pnt=4, noise_px=0.5,
+                         perturb=1e-2, seed=3)
+    return p
+
+
+def test_chunked_matches_one_shot(problem):
+    one = levenberg_marquardt_jit(problem, max_iters=40)
+    chk = levenberg_marquardt_jit_chunked(problem, max_iters=40,
+                                          chunk_iters=7)
+    assert int(chk.iterations) == int(one.iterations)
+    assert int(chk.status) == int(one.status)
+    # identical program per segment -> bitwise-identical trajectory
+    assert float(chk.objective) == float(one.objective)
+    np.testing.assert_array_equal(np.asarray(chk.hist_obj),
+                                  np.asarray(one.hist_obj))
+    assert np.isfinite(chk.elapsed_time)
+
+
+def test_max_time_zero_stops_immediately(problem):
+    res = levenberg_marquardt_jit_chunked(problem, max_iters=40,
+                                          chunk_iters=5, max_time=0.0)
+    assert int(res.status) == MAX_TIME
+    assert int(res.iterations) == 0
+    assert STATUS_NAMES[int(res.status)] == "max_time"
+
+
+def test_checkpoint_resume_continues_exactly(problem, tmp_path):
+    d = str(tmp_path / "ckpt")
+    full = levenberg_marquardt_jit_chunked(problem, max_iters=40,
+                                           chunk_iters=5)
+    # run 10 iterations, killing the "process" there
+    part = levenberg_marquardt_jit_chunked(problem, max_iters=10,
+                                           chunk_iters=5, checkpoint_dir=d)
+    assert int(part.iterations) == 10
+    assert any(f.startswith("step-") for f in os.listdir(d))
+    # resume to completion
+    res = levenberg_marquardt_jit_chunked(problem, max_iters=40,
+                                          chunk_iters=5, checkpoint_dir=d,
+                                          resume=True)
+    assert int(res.iterations) == int(full.iterations)
+    assert float(res.objective) == pytest.approx(float(full.objective),
+                                                 rel=1e-10)
+    assert int(res.status) == int(full.status)
+
+
+def test_callback_reports_progress(problem):
+    seen = []
+    levenberg_marquardt_jit_chunked(problem, max_iters=12, chunk_iters=4,
+                                    callback=seen.append)
+    assert seen and seen[-1]["iter"] <= 12
+    assert all("obj" in row and "lam" in row for row in seen)
+
+
+def test_facto_dtype_bf16_converges_near_f32(problem):
+    p32 = problem.astype(jnp.float32)
+    kw = dict(max_iters=60, lam0_mode="diag", satol=0.0, srtol=0.0,
+              atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+    base = levenberg_marquardt_jit(p32, **kw)
+    mixed = levenberg_marquardt_jit(p32, facto_dtype=jnp.bfloat16, **kw)
+    assert STATUS_NAMES[int(mixed.status)] != "exception"
+    # bf16 factorization storage must reach the f32 objective within ~1%
+    assert float(mixed.objective) == pytest.approx(
+        float(base.objective), rel=2e-2)
+
+
+def test_unknown_option_raises(problem):
+    with pytest.raises(TypeError):
+        levenberg_marquardt_jit_chunked(problem, bogus_option=1)
