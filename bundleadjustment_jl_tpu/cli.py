@@ -46,8 +46,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="linear-step solver: Schur+PCG (default), dense "
                         "Schur Cholesky, damped CGLS on J, or PBA-style "
                         "power series")
-    p.add_argument("--driver", choices=["host", "jit"], default="jit",
-                   help="host-stepped loop (rich logging) or one-XLA-program")
+    p.add_argument("--driver", choices=["host", "jit", "chunked"],
+                   default="jit",
+                   help="host-stepped loop (rich logging), one-XLA-program, "
+                        "or the chunked jit driver (max-time + checkpoint "
+                        "support at jit speed)")
+    p.add_argument("--chunk-iters", type=int, default=25,
+                   help="iterations per compiled segment (chunked driver)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="rotating step-<n>.npz checkpoints (host/chunked)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint before solving")
+    p.add_argument("--facto-dtype", choices=["bf16", "f16"], default=None,
+                   help="low-precision factorization storage inside the "
+                        "full-precision LM (the reference's facto_type, "
+                        "lm.jl:99; jit/chunked drivers)")
     p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default=None,
                    help="working precision (default: f64 on cpu, f32 on tpu)")
     p.add_argument("--platform", default=None,
@@ -116,6 +129,8 @@ def main(argv=None) -> int:
             make_mesh, shard_problem)
         problem = shard_problem(problem, make_mesh(args.mesh))
 
+    facto_dtype = ({"bf16": jnp.bfloat16, "f16": jnp.float16}
+                   .get(args.facto_dtype) if args.facto_dtype else None)
     t0 = time.perf_counter()
     if args.driver == "host":
         from bundleadjustment_jl_tpu.solver.lm import (
@@ -124,21 +139,30 @@ def main(argv=None) -> int:
             max_iters=args.max_iters, max_time=args.max_time,
             solver=args.solver, linesearch=args.linesearch,
             pcg_max_iters=args.pcg_max_iters, pcg_rtol=args.pcg_rtol,
-            lam0=args.lam0, verbose=args.verbose)
+            lam0=args.lam0, verbose=args.verbose,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume)
         res = levenberg_marquardt(problem, opts)
         status, obj = res.status, res.objective
         iters, dual = res.iterations, res.dual_feas
         cams, points = res.cams, res.points
     else:
         from bundleadjustment_jl_tpu.solver.lm_jit import (
-            STATUS_NAMES, levenberg_marquardt_jit)
-        res = levenberg_marquardt_jit(
-            problem, max_iters=args.max_iters, lam0=args.lam0,
-            pcg_rtol=args.pcg_rtol, pcg_max_iters=args.pcg_max_iters,
-            use_dense=(args.solver == "dense"),
-            use_cgls=(args.solver == "cgls"),
-            use_power=(args.solver == "power"),
-            linesearch=args.linesearch)
+            STATUS_NAMES, levenberg_marquardt_jit,
+            levenberg_marquardt_jit_chunked)
+        kw = dict(max_iters=args.max_iters, lam0=args.lam0,
+                  pcg_rtol=args.pcg_rtol, pcg_max_iters=args.pcg_max_iters,
+                  use_dense=(args.solver == "dense"),
+                  use_cgls=(args.solver == "cgls"),
+                  use_power=(args.solver == "power"),
+                  linesearch=args.linesearch, facto_dtype=facto_dtype)
+        if args.driver == "chunked":
+            res = levenberg_marquardt_jit_chunked(
+                problem, chunk_iters=args.chunk_iters,
+                max_time=args.max_time,
+                checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                **kw)
+        else:
+            res = levenberg_marquardt_jit(problem, **kw)
         jax.block_until_ready(res.objective)
         status = STATUS_NAMES[int(res.status)]
         obj, iters = float(res.objective), int(res.iterations)
