@@ -125,17 +125,25 @@ def residuals_and_jacobian(
     (``residuals!`` `BALNLPModels.jl:39-55` and ``jac_coord!``
     `BALNLPModels.jl:161-206`); XLA fuses the whole chain.
     """
+    from bundleadjustment_jl_tpu.ops.gatherfree import take_cam, take_pnt
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
-    return rj_raw(cams, points, problem.cam_idx, problem.pnt_idx,
-                  problem.pt2d, problem.w)
+    c = take_cam(cams, problem.cam_idx)
+    X = take_pnt(points, problem.pnt_idx, problem.pnt_starts,
+                 problem.pnt_perm)
+    return rj_gathered(c, X, problem.pt2d, problem.w)
 
 
 def rj_raw(cams, points, cam_idx, pnt_idx, pt2d, w):
     """residuals_and_jacobian on raw observation arrays (any leading
-    shape); used directly and by the chunked assembly scan."""
-    c = cams[cam_idx]                   # (N, 9) gather
-    X = points[pnt_idx]                 # (N, 3) gather
+    shape); used by the chunked assembly scan (native gathers — per-chunk
+    index vectors carry no global sorted-segment metadata)."""
+    return rj_gathered(cams[cam_idx], points[pnt_idx], pt2d, w)
+
+
+def rj_gathered(c, X, pt2d, w):
+    """The linearization chain on pre-gathered per-observation rows
+    ``c`` (N, 9) and ``X`` (N, 3)."""
 
     r_aa, t = c[:, 0:3], c[:, 3:6]
     k1, k2, f = c[:, 6], c[:, 7], c[:, 8]

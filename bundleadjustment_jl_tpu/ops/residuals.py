@@ -31,10 +31,12 @@ def residuals(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
     — the same convention as `ops.jacobian.rj_raw`, so trial and linearized
     objectives always agree on which observations count.
     """
+    from bundleadjustment_jl_tpu.ops.gatherfree import take_cam, take_pnt
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
-    c = cams[problem.cam_idx]       # (nobs_pad, 9) gather
-    X = points[problem.pnt_idx]     # (nobs_pad, 3) gather
+    c = take_cam(cams, problem.cam_idx)                   # (nobs_pad, 9)
+    X = take_pnt(points, problem.pnt_idx, problem.pnt_starts,
+                 problem.pnt_perm)                        # (nobs_pad, 3)
     proj, valid = _project_batch(c, X)   # (nobs_pad, 2), (nobs_pad,)
     w = problem.w * valid.astype(problem.w.dtype)
     return (proj - problem.pt2d) * w[:, None]

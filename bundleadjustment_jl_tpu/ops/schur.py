@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.blockmul import (
     jc_dot, jp_dot, w_dot_b, wT_dot_a)
+from bundleadjustment_jl_tpu.ops.gatherfree import take_cam, take_pnt
 from bundleadjustment_jl_tpu.ops.normal import GNBlocks, damp, inv3x3
 from bundleadjustment_jl_tpu.ops.segsum import (
     segment_sum_scatter, sorted_segment_sum)
@@ -107,7 +108,9 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       pnt_perm=problem.pnt_perm)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
-    corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp[problem.pnt_idx]))
+    tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
+                       problem.pnt_perm)
+    corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp_obs))
     return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
 
 
@@ -115,9 +118,10 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
     # W' v, accumulated per point
-    t = _seg_pnt(sys, wT_dot_a(sys.W_f, v[sys.cam_idx]))
+    t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(v, sys.cam_idx)))
     t = jnp.einsum("pab,pb->pa", sys.Hpp_inv, t)
-    u2 = _seg_cam(sys, w_dot_b(sys.W_f, t[sys.pnt_idx]))
+    t_obs = take_pnt(t, sys.pnt_idx, sys.pnt_starts, sys.pnt_perm)
+    u2 = _seg_cam(sys, w_dot_b(sys.W_f, t_obs))
     return u - u2
 
 
@@ -137,8 +141,9 @@ def schur_diag_blocks(sys: SchurSystem,
     if chunk == "auto":
         chunk = auto_chunk(n)
     if chunk is None or n % chunk != 0 or n <= chunk:
-        WCW = jnp.einsum("kab,kbc,kdc->kad",
-                         sys.W, sys.Hpp_inv[sys.pnt_idx], sys.W)
+        Hpp_inv_obs = take_pnt(sys.Hpp_inv, sys.pnt_idx, sys.pnt_starts,
+                               sys.pnt_perm)
+        WCW = jnp.einsum("kab,kbc,kdc->kad", sys.W, Hpp_inv_obs, sys.W)
         return sys.Hcc_l - _seg_cam(sys, WCW)
 
     nchunks = n // chunk
@@ -161,7 +166,7 @@ def schur_diag_blocks(sys: SchurSystem,
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
-    t = _seg_pnt(sys, wT_dot_a(sys.W_f, dc[sys.cam_idx]))
+    t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))
     return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
 
 
@@ -176,8 +181,10 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
     """
     t_c = jnp.sum(dc * jnp.einsum("cab,cb->ca", blocks.Hcc, dc))
     t_p = jnp.sum(dp * jnp.einsum("pab,pb->pa", blocks.Hpp, dp))
-    cross = jnp.sum(w_dot_b(blocks.W_f, dp[problem.pnt_idx])
-                    * dc[problem.cam_idx])
+    dp_obs = take_pnt(dp, problem.pnt_idx, problem.pnt_starts,
+                      problem.pnt_perm)
+    cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)
+                    * take_cam(dc, problem.cam_idx))
     return t_c + 2.0 * cross + t_p
 
 
