@@ -1,15 +1,22 @@
-"""Benchmark: full LM solve on a LadyBug-49-sized synthetic BAL problem.
+"""Benchmark: full LM solves at two BAL benchmark sizes.
 
-The reference's headline problem is LadyBug-49-7776 (49 cams, 7776 points,
-31,843 observations), solved by its best config (LM + LDL + AMD, Float64) in
-54.3 s / 57 iterations on the author's CPU (`BASELINE.md`). No BAL files are
-available in this environment (zero egress), so the benchmark generates a
-synthetic problem of identical dimensions and solves it end-to-end with the
-fully-jitted LM (matrix-free Schur + block-Jacobi PCG) on whatever backend
-is available (real TPU chip under the driver; CPU otherwise).
+Headline = Dubrovnik-356-class (226,730 points / ~1.26M observations):
+large enough that per-iteration throughput, not fixed overhead, is what is
+measured. LadyBug-49 (the reference's canonical small problem) is also
+solved and reported for continuity with round 1. No BAL files exist in
+this environment (zero egress), so both are synthetic problems of the
+exact benchmark dimensions (`benchmark/problems.py:BAL_SIZES`).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-``vs_baseline`` > 1 means faster than the reference's 54.3 s.
+Reference baselines (BASELINE.md, Julia LM-LDL F64 on the author's CPU):
+LadyBug-49 = 54.3 s / 57 it; Dubrovnik-356 = ~1.2e3 s / 19 it (its QR
+config excepts at this size; LDL reports small_step prematurely).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}:
+value = the Dubrovnik-356 solve seconds, vs_baseline > 1 means faster
+than the reference's ~1200 s. Extra keys carry the LadyBug-49 numbers,
+per-iteration ms, and the HBM-traffic model with the achieved fraction of
+the MEASURED device stream bandwidth (scripts/tpu_roofline.py) — the
+honest speed-of-light on this backend.
 """
 
 import json
@@ -18,59 +25,93 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_S = 54.3          # LM-LDL F64, LadyBug-49 (BASELINE.md)
-MAX_ITERS = 60             # reference used 57 iterations
+BASE_DUBROVNIK_S = 1200.0   # LM-LDL F64, Dubrovnik-356 (BASELINE.md)
+BASE_LADYBUG_S = 54.3       # LM-LDL F64, LadyBug-49
+MAX_ITERS = 60
+
+# Measured fused-stream rate on this backend (scripts/tpu_roofline.py,
+# W'v blockmul row): the realistic bandwidth ceiling for the inner loop.
+MEASURED_STREAM_GBS = 228.0
+
+
+def traffic_model_bytes(problem, iters, cg_total, itemsize=4):
+    """First-order HBM-traffic model of the solve: per CG matvec ~2 W
+    reads + vectors; per iteration one linearization (~W write + problem
+    read) + trial residual evaluation."""
+    n = problem.nobs_pad
+    per_matvec = (2 * 27 + 2 * 9 + 2 * 3) * n * itemsize
+    per_iter = (27 + 9 + 3 + 2 + 9 + 3 + 12 + 2) * 2 * n * itemsize
+    return cg_total * per_matvec + iters * per_iter
+
+
+def solve_cfg(problem):
+    from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
+    return levenberg_marquardt_jit(
+        problem, max_iters=MAX_ITERS, pcg_max_iters=100,
+        lam0_mode="diag", satol=0.0, srtol=0.0,
+        atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+
+
+def run(make_problem):
+    """(solve_s, result) — warm-up on a same-shape problem first; timing
+    brackets a device->host fetch (the only true barrier on the remote
+    tunnel)."""
+    warm = solve_cfg(make_problem(seed=1))
+    float(warm.objective)
+    problem = make_problem(seed=0)
+    t0 = time.perf_counter()
+    res = solve_cfg(problem)
+    obj = float(res.objective)
+    return time.perf_counter() - t0, res, obj, problem
 
 
 def main():
     from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
-    from bundleadjustment_jl_tpu.solver.lm_jit import (
-        STATUS_NAMES, levenberg_marquardt_jit)
+    from bundleadjustment_jl_tpu.solver.lm_jit import STATUS_NAMES
 
     backend = jax.default_backend()
-    dtype = jnp.float32  # TPU-native working precision
+    dtype = jnp.float32
 
-    def make(seed):
-        problem, _ = synthetic_bal(
-            ncams=49, npnts=7776, obs_per_pnt=4, noise_px=1.0,
-            perturb=3e-2, seed=seed, dtype=dtype, pad_obs_to=512)
-        return problem
+    def lady(seed):
+        p, _ = synthetic_bal(ncams=49, npnts=7776, obs_per_pnt=4,
+                             noise_px=1.0, perturb=3e-2, seed=seed,
+                             dtype=dtype, pad_obs_to=512)
+        return p
 
-    # f32 notes: sqrt(eps_f32) step tolerances are meaningless at BAL scale
-    # (they would stop at ||d|| < 1e-3 ||x||), so the step test is disabled;
-    # convergence = gradient down 1e5x or objective decrease < 0.01%/iter
-    # (reaches the statistical optimum of the synthetic problem: with
-    # noise 1 px, E[min obj] = 0.5*(nequ - nvar)*sigma^2 ~ 19220 <=>
-    # rmse 0.786 px).
-    solve = lambda p: levenberg_marquardt_jit(  # noqa: E731
-        p, max_iters=MAX_ITERS, pcg_max_iters=100,
-        lam0_mode="diag", satol=0.0, srtol=0.0,
-        atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+    def dubrovnik(seed):
+        p, _ = synthetic_bal(ncams=356, npnts=226730, obs_per_pnt=6,
+                             noise_px=1.0, perturb=2e-2, seed=seed,
+                             dtype=dtype, pad_obs_to=1024)
+        return p
 
-    # Warm-up on a same-shape problem: XLA compiles once per shape. NB: on
-    # the remote-TPU tunnel backend `block_until_ready` does NOT wait for
-    # execution — only a device->host fetch does — so all timing brackets a
-    # scalar fetch.
-    warm = solve(make(seed=1))
-    float(warm.objective)
+    lady_s, lady_res, lady_obj, lady_p = run(lady)
+    dub_s, dub_res, dub_obj, dub_p = run(dubrovnik)
 
-    problem = make(seed=0)
-    t0 = time.perf_counter()
-    res = solve(problem)
-    obj = float(res.objective)
-    elapsed = time.perf_counter() - t0
-
-    nequ = 2 * problem.nobs
+    it = int(dub_res.iterations)
+    cg = int(jnp.sum(dub_res.hist_cg))
+    bytes_moved = traffic_model_bytes(dub_p, it, cg)
+    achieved_gbs = bytes_moved / dub_s / 1e9
+    nequ = 2 * dub_p.nobs
     print(json.dumps({
-        "metric": "ladybug49_synth_lm_solve",
-        "value": round(elapsed, 4),
+        "metric": "dubrovnik356_synth_lm_solve",
+        "value": round(dub_s, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_S / elapsed, 2),
+        "vs_baseline": round(BASE_DUBROVNIK_S / dub_s, 2),
         "backend": backend,
-        "status": STATUS_NAMES[int(res.status)],
-        "iterations": int(res.iterations),
-        "objective": obj,
-        "rmse_px": round((2.0 * obj / nequ) ** 0.5, 4),
+        "status": STATUS_NAMES[int(dub_res.status)],
+        "iterations": it,
+        "cg_matvecs": cg,
+        "per_iter_ms": round(1e3 * dub_s / max(it, 1), 2),
+        "objective": dub_obj,
+        "rmse_px": round((2.0 * dub_obj / nequ) ** 0.5, 4),
+        "traffic_model_gb": round(bytes_moved / 1e9, 2),
+        "achieved_gbs": round(achieved_gbs, 2),
+        "roofline_fraction": round(achieved_gbs / MEASURED_STREAM_GBS, 3),
+        "ladybug49_s": round(lady_s, 4),
+        "ladybug49_vs_baseline": round(BASE_LADYBUG_S / lady_s, 2),
+        "ladybug49_status": STATUS_NAMES[int(lady_res.status)],
+        "ladybug49_rmse_px": round(
+            (2.0 * lady_obj / (2 * lady_p.nobs)) ** 0.5, 4),
     }))
 
 

@@ -1,17 +1,16 @@
 """Primitive-level roofline measurement on the current backend.
 
-Times the individual memory-access patterns the LM inner loop is built from
-(stream, gather, scatter-add, segment reductions, block products) with the
-loop-amortized dependent-chain methodology of `tpu_profile.py`, and reports
-achieved GB/s against the per-pattern bytes moved. This is the basis for
-deciding which ops need Pallas fusion and what "speed of light" means for
-each (docs/performance.md).
+Times the individual memory-access patterns the LM inner loop is built
+from (stream, gather, scatter-add, permutation, cumsum expansion, block
+products, one-hot matmul) with the argument-passing loop-amortized harness
+(`_bench_util.py` — see its methodology notes), reporting achieved GB/s
+against per-pattern bytes moved. Basis for the gather-free design in
+`ops/gatherfree.py` and the layout notes in docs/performance.md.
 
-Usage: python scripts/tpu_roofline.py [nobs ncams npnts N]
+Usage: python scripts/tpu_roofline.py [nobs ncams npnts]
 """
 
 import sys
-import time
 
 import numpy as np
 
@@ -19,127 +18,104 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from _bench_util import timed  # noqa: E402
 
 
-def chain(fn, carry0, n):
-    """Jitted fori_loop of n dependent applications of fn."""
-    @jax.jit
-    def run():
-        return jax.lax.fori_loop(0, n, fn, carry0)
-    return run
-
-
-def timed(name, make, nbytes, n_hi=16, n_lo=1):
-    f_hi = chain(*make(), n_hi)
-    f_lo = chain(*make(), n_lo)
-    r = f_hi()
-    jax.tree_util.tree_map(
-        lambda x: np.asarray(x).ravel()[0], r)  # force fetch
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[0], f_lo())
-    t0 = time.perf_counter()
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[0], f_lo())
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[0], f_hi())
-    t_hi = time.perf_counter() - t0
-    per = (t_hi - t_lo) / (n_hi - n_lo)
-    gbs = nbytes / per / 1e9
-    print(f"{name:<30} {1e3 * per:9.3f} ms  {gbs:8.1f} GB/s "
-          f"({nbytes / 1e6:.1f} MB/op)", flush=True)
-    return per
-
-
-def main(nobs=1 << 20, ncams=1024, npnts=1 << 17, N=16):
+def main(nobs=1 << 20, ncams=1024, npnts=1 << 17):
     print(f"backend={jax.default_backend()} nobs={nobs} ncams={ncams} "
           f"npnts={npnts}", flush=True)
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    x = jax.random.normal(k1, (nobs * 27,), jnp.float32)
-    W = x.reshape(nobs, 27)
-    v9 = jax.random.normal(k2, (nobs, 9), jnp.float32)
-    cam_idx = jax.random.randint(k3, (nobs,), 0, ncams)
-    pnt_idx = jnp.sort(jax.random.randint(k4, (nobs,), 0, npnts))
-    table = jax.random.normal(k1, (ncams, 9), jnp.float32)
-    ptable = jax.random.normal(k2, (npnts, 9), jnp.float32)
+    rng = np.random.default_rng(0)
+    xflat = jnp.asarray(rng.standard_normal(nobs * 27), jnp.float32)
+    v9 = jnp.asarray(rng.standard_normal((nobs, 9)), jnp.float32)
+    v3 = jnp.asarray(rng.standard_normal((nobs, 3)), jnp.float32)
+    cam_idx = jnp.asarray(rng.integers(0, ncams, nobs), jnp.int32)
+    pnt_sorted = jnp.asarray(np.sort(rng.integers(0, npnts, nobs)),
+                             jnp.int32)
+    ctable = jnp.asarray(rng.standard_normal((ncams, 9)), jnp.float32)
+    ptable = jnp.asarray(rng.standard_normal((npnts, 3)), jnp.float32)
+    starts = jnp.asarray(
+        np.searchsorted(np.asarray(pnt_sorted), np.arange(npnts + 1))
+        .astype(np.int32))
+    perm = jnp.asarray(rng.permutation(nobs).astype(np.int32))
+    inv = jnp.asarray(np.argsort(np.asarray(perm)).astype(np.int32))
 
-    # 1. pure stream: read + write nobs*27 f32
-    def mk_stream():
-        def body(i, c):
-            return c * 1.0000001 + 1e-12
-        return body, x
+    z27 = jnp.zeros((nobs, 27), jnp.float32)
+    z9 = jnp.zeros((nobs, 9), jnp.float32)
+    z3 = jnp.zeros((nobs, 3), jnp.float32)
 
-    timed("stream r+w (N,27)", mk_stream, 2 * x.size * 4)
+    # 1. stream: read + write nobs*27 f32 (flat and 2-D layouts)
+    timed("stream flat (N*27,)",
+          lambda c, x: x * (1 + c[0] * 1e-30) + c[0],
+          jnp.zeros((nobs * 27,), jnp.float32), (xflat,),
+          2 * nobs * 27 * 4)
+    timed("stream (N,27)",
+          lambda c, x: x * (1 + c[0, 0] * 1e-30) + c[0, 0],
+          z27, (xflat.reshape(nobs, 27),), 2 * nobs * 27 * 4)
+    timed("stream (27,N)",
+          lambda c, x: x * (1 + c[0, 0] * 1e-30) + c[0, 0],
+          jnp.zeros((27, nobs), jnp.float32), (xflat.reshape(27, nobs),),
+          2 * nobs * 27 * 4)
 
-    # 2. gather (ncams,9) rows by cam_idx -> (N,9)
-    def mk_gather():
-        def body(i, c):
-            g = (table * (1 + c[0, 0] * 1e-30))[cam_idx]
-            return g
-        return body, jnp.zeros((nobs, 9), jnp.float32)
+    # 2. gathers
+    timed("gather cams (N,9)",
+          lambda c, t, i: (t * (1 + c[0, 0] * 1e-30))[i],
+          z9, (ctable, cam_idx), nobs * 10 * 4)
+    timed("gather pnts sorted (N,3)",
+          lambda c, t, i: (t * (1 + c[0, 0] * 1e-30))[i],
+          z3, (ptable, pnt_sorted), nobs * 4 * 4)
+    timed("perm gather (N,27)[perm]",
+          lambda c, x, p: (x * (1 + c[0, 0] * 1e-30))[p],
+          z27, (xflat.reshape(nobs, 27), perm), 2 * nobs * 27 * 4)
 
-    timed("gather cams (N,9)", mk_gather, (nobs * 9 * 2 + nobs) * 4)
+    # 3. scatters
+    timed("perm scatter .at[inv].set",
+          lambda c, x, i: jnp.zeros_like(x).at[i].set(
+              x * (1 + c[0, 0] * 1e-30)),
+          z27, (xflat.reshape(nobs, 27), inv), 2 * nobs * 27 * 4)
+    timed("scatter-add (N,9)->cams",
+          lambda c, v, i: jax.ops.segment_sum(
+              v * (1 + c[0, 0] * 1e-30), i, num_segments=ncams),
+          jnp.zeros((ncams, 9), jnp.float32), (v9, cam_idx),
+          nobs * 10 * 4)
+    timed("scatter-add sorted (N,3)->pnts",
+          lambda c, v, i: jax.ops.segment_sum(
+              v * (1 + c[0, 0] * 1e-30), i, num_segments=npnts),
+          jnp.zeros((npnts, 3), jnp.float32), (v3, pnt_sorted),
+          nobs * 4 * 4)
 
-    # 3. gather (npnts,9) rows by sorted pnt_idx
-    def mk_gather_p():
-        def body(i, c):
-            return (ptable * (1 + c[0, 0] * 1e-30))[pnt_idx]
-        return body, jnp.zeros((nobs, 9), jnp.float32)
+    # 4. gather-free formulations (ops/gatherfree.py)
+    from bundleadjustment_jl_tpu.ops.gatherfree import (
+        expand_sorted, take_rows_onehot)
+    timed("onehot-matmul gather cams",
+          lambda c, t, i: take_rows_onehot(t * (1 + c[0, 0] * 1e-30), i),
+          z9, (ctable, cam_idx), nobs * 10 * 4)
+    timed("cumsum-expand pnts sorted",
+          lambda c, t, s: expand_sorted(t * (1 + c[0, 0] * 1e-30), s,
+                                        nobs),
+          z3, (ptable, starts), nobs * 4 * 4)
+    timed("cumsum (N,9)",
+          lambda c, v: jnp.cumsum(v * (1 + c[0, 0] * 1e-30), axis=0),
+          z9, (v9,), 2 * nobs * 9 * 4)
 
-    timed("gather pnts sorted (N,9)", mk_gather_p,
-          (nobs * 9 * 2 + nobs) * 4)
-
-    # 4. scatter-add (N,9) -> (ncams,9)
-    def mk_scatter():
-        def body(i, c):
-            s = jax.ops.segment_sum(v9 * (1 + c[0, 0] * 1e-30), cam_idx,
-                                    num_segments=ncams)
-            return s
-        return body, jnp.zeros((ncams, 9), jnp.float32)
-
-    timed("scatter-add (N,9)->cams", mk_scatter, (nobs * 10) * 4)
-
-    # 5. scatter-add (N,9) -> (npnts,9) with SORTED ids
-    def mk_scatter_p():
-        def body(i, c):
-            return jax.ops.segment_sum(v9 * (1 + c[0, 0] * 1e-30), pnt_idx,
-                                       num_segments=npnts)
-        return body, jnp.zeros((npnts, 9), jnp.float32)
-
-    timed("scatter-add sorted (N,9)->pnts", mk_scatter_p, (nobs * 10) * 4)
-
-    # 6. batched block product W'v: (N,27)x(N,9)->(N,3)
+    # 5. block product W'v (both forms)
     from bundleadjustment_jl_tpu.ops.blockmul import wT_dot_a
+    timed("W'v blockmul flat",
+          lambda c, w, v: wT_dot_a(w, v * (1 + c[0, 0] * 1e-30)),
+          z3, (xflat, v9), nobs * (27 + 9 + 3) * 4)
+    timed("W'v einsum (N,9,3)",
+          lambda c, w, v: jnp.einsum(
+              "kab,ka->kb", w.reshape(-1, 9, 3),
+              v * (1 + c[0, 0] * 1e-30)),
+          z3, (xflat, v9), nobs * (27 + 9 + 3) * 4)
 
-    def mk_wtv():
-        def body(i, c):
-            return wT_dot_a(x, v9 * (1 + c[0, 0] * 1e-30))
-        return body, jnp.zeros((nobs, 3), jnp.float32)
-
-    timed("W'v blockmul (N,27)x(N,9)", mk_wtv, (nobs * (27 + 9 + 3)) * 4)
-
-    # 7. einsum variant of the same
-    def mk_wtv_e():
-        def body(i, c):
-            return jnp.einsum("kab,ka->kb", W, v9 * (1 + c[0, 0] * 1e-30))
-        return body, jnp.zeros((nobs, 3), jnp.float32)
-
-    timed("W'v einsum (N,9,3)x(N,9)", mk_wtv_e, (nobs * (27 + 9 + 3)) * 4)
-
-    # 8. one-hot matmul reduction (N,9)->(ncams,9) on the MXU
-    def mk_onehot():
-        ids = cam_idx.astype(jnp.int32)
-
-        def body(i, c):
-            oh = (ids[:, None] == jnp.arange(ncams, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                oh, (v9 * (1 + c[0, 0] * 1e-30)).astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return s
-        return body, jnp.zeros((ncams, 9), jnp.float32)
-
-    timed("onehot-matmul (N,9)->cams", mk_onehot, (nobs * 10) * 4)
+    # 6. MXU matmul rate
+    A = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.float32)
+    t = timed("matmul 4096^3 f32",
+              lambda c, a: jnp.dot(c, a, preferred_element_type=c.dtype),
+              A, (A,), 3 * 4096 * 4096 * 4)
+    print(f"    -> {2 * 4096**3 / t / 1e12:.2f} TFLOP/s", flush=True)
 
 
 if __name__ == "__main__":
