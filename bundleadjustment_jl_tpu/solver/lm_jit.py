@@ -67,7 +67,7 @@ STATUS_NAMES = {
 # Static configuration shared by the jitted init/segment kernels.
 _STATIC = ("max_iters", "pcg_max_iters", "use_dense", "use_cgls",
            "use_power", "linesearch", "ls_max", "lam0_mode", "lam_strategy",
-           "use_forcing", "facto_dtype")
+           "use_forcing", "facto_dtype", "pcg_warm")
 
 
 class LMJitResult(NamedTuple):
@@ -147,10 +147,11 @@ def _maybe_cast_facto(blocks, facto_dtype):
 @partial(jax.jit, static_argnames=_STATIC)
 def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
-             ls_max, lam0_mode, lam_strategy, use_forcing, facto_dtype):
+             ls_max, lam0_mode, lam_strategy, use_forcing, facto_dtype,
+             pcg_warm):
     """Initial linearization + solver state (one compiled dispatch)."""
     del pcg_max_iters, use_dense, use_power, linesearch, ls_max
-    del lam_strategy, use_forcing
+    del lam_strategy, use_forcing, pcg_warm
     dtype = cams.dtype
     blocks0 = assemble_blocks(problem, cams, points, with_jr=use_cgls)
     obj0 = blocks0.obj
@@ -182,6 +183,7 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
         #                                          (`lm.jl:111-114`)
         nrejects=jnp.asarray(0, jnp.int32),
         naccepts=jnp.asarray(0, jnp.int32),
+        dc=jnp.zeros((cams.shape[0] * 9,), dtype),  # PCG warm-start carry
         nu=jnp.asarray(2.0, dtype),
         status=jnp.asarray(RUNNING, jnp.int32),
         hist_obj=zeros_h, hist_gnorm=zeros_h, hist_lam=zeros_h,
@@ -192,7 +194,7 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
 @partial(jax.jit, static_argnames=_STATIC)
 def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
-            lam_strategy, use_forcing, facto_dtype):
+            lam_strategy, use_forcing, facto_dtype, pcg_warm):
     """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
     del lam0_mode
     dtype = state["cams"].dtype
@@ -248,9 +250,14 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         else:
             sys = reduce_system(problem, blocks, lam_f)
             L = block_cholesky(schur_diag_blocks(sys))
+            # Warm start from the previous LM iteration's camera step (the
+            # reduced system changes only through lambda and the accepted
+            # re-linearization) — saves CG matvecs late in the solve.
+            x0 = st["dc"].reshape(-1, 9).astype(sys.b.dtype) \
+                if pcg_warm else None
             res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                       lambda v: block_cho_solve(L, v),
-                      rtol=rtol_cg, max_iters=pcg_max_iters)
+                      rtol=rtol_cg, max_iters=pcg_max_iters, x0=x0)
             dc, cg_iters = res.x, res.iters
             dp = back_substitute(sys, dc)
         dc = dc.astype(dtype)
@@ -357,6 +364,8 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             cams=cams_n, points=points_n, blocks=blocks_n, obj=obj_n,
             gnorm=gnorm_n, lam=lam_new, it=it + 1, it_max=st["it_max"],
             gtol=st["gtol"], nrejects=nrej_new,
+            # never carry a NaN step into the next warm start
+            dc=jnp.where(jnp.isfinite(dnorm), dc.reshape(-1), 0.0),
             naccepts=st["naccepts"] + accept.astype(jnp.int32),
             nu=nu_new, status=status,
             hist_obj=st["hist_obj"].at[it].set(obj),
@@ -387,7 +396,8 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
                    atol, rtol, restol, satol, srtol, oatol, ortol,
                    nu_d, nu_m, accept_ratio, good_ratio, lam_min,
                    lam_strategy, pcg_rtol, pcg_max_iters, use_dense,
-                   use_cgls, use_power, linesearch, ls_max, facto_dtype):
+                   use_cgls, use_power, linesearch, ls_max, facto_dtype,
+                   pcg_warm):
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
     hp = _resolve_hp(cams.dtype, atol, rtol, restol, satol, srtol, oatol,
@@ -399,7 +409,8 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
                   lam0_mode=lam0_mode, lam_strategy=lam_strategy,
                   use_forcing=pcg_rtol is None,
                   facto_dtype=(None if facto_dtype is None
-                               else jnp.dtype(facto_dtype).name))
+                               else jnp.dtype(facto_dtype).name),
+                  pcg_warm=pcg_warm)
     return cams, points, hp, static
 
 
@@ -415,7 +426,7 @@ def levenberg_marquardt_jit(
     use_dense: bool = False, use_cgls: bool = False,
     use_power: bool = False,
     linesearch: bool = False, ls_max: int = 4,
-    facto_dtype=None,
+    facto_dtype=None, pcg_warm: bool = False,
 ) -> LMJitResult:
     """One-call LM solve; every option is a traced scalar except the static
     structure/iteration-bound flags. ``None`` tolerances resolve to the
@@ -426,12 +437,16 @@ def levenberg_marquardt_jit(
     loop — the TPU-native equivalent of the reference's low-precision
     factorization (`lm.jl:99`, `ldl_aux.jl:272-282`); halves the dominant
     HBM traffic of the PCG matvec at bf16.
+
+    ``pcg_warm``: start each PCG solve from the previous iteration's
+    camera step instead of zero (fewer matvecs late in the solve).
     """
     cams, points, hp, static = _split_options(
         problem, cams, points, max_iters, lam0, lam0_mode, atol, rtol,
         restol, satol, srtol, oatol, ortol, nu_d, nu_m, accept_ratio,
         good_ratio, lam_min, lam_strategy, pcg_rtol, pcg_max_iters,
-        use_dense, use_cgls, use_power, linesearch, ls_max, facto_dtype)
+        use_dense, use_cgls, use_power, linesearch, ls_max, facto_dtype,
+        pcg_warm)
     state = _lm_init(problem, cams, points, hp, **static)
     if lam0 is not None:
         state = dict(state, lam=jnp.asarray(lam0, cams.dtype))
@@ -483,7 +498,7 @@ def levenberg_marquardt_jit_chunked(
         options.pop("pcg_max_iters", 100), options.pop("use_dense", False),
         options.pop("use_cgls", False), options.pop("use_power", False),
         options.pop("linesearch", False), options.pop("ls_max", 4),
-        options.pop("facto_dtype", None))
+        options.pop("facto_dtype", None), options.pop("pcg_warm", False))
     if options:
         raise TypeError(f"unknown options: {sorted(options)}")
 
