@@ -48,12 +48,13 @@ _LOW_DTYPES = ("bfloat16", "float16")
 
 def facto_bytes(problem: BAProblem, facto_dtype=None, work_dtype=None
                 ) -> int:
-    """Bytes of the factorization-operand storage (W + Hcc + Hpp) — the
-    quantity `facto_dtype` shrinks; one PCG matvec reads ~2x the W part."""
+    """Bytes of the factorization-operand storage the `facto_dtype` option
+    shrinks (the per-observation ``W`` blocks; the small diagonal blocks
+    stay full-precision — see solver.lm_jit._maybe_cast_facto). One PCG
+    matvec reads ~2x this."""
     wd = jnp.dtype(work_dtype or problem.dtype)
     fd = jnp.dtype(facto_dtype) if facto_dtype is not None else wd
-    n = problem.nobs_pad
-    return fd.itemsize * (27 * n + 81 * problem.ncams + 9 * problem.npnts)
+    return fd.itemsize * 27 * problem.nobs_pad
 
 
 def precision_cascade(problem: BAProblem,

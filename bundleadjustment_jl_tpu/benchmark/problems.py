@@ -42,6 +42,59 @@ BAL_SIZES = [
 ]
 
 
+def _bucket(n: int, grid=(1.0, 1.25, 1.5, 1.75)) -> int:
+    """Round up to the next value in a {2^k * g} grid (<= 25% waste)."""
+    if n <= 1:
+        return 1
+    import math
+    k = int(math.floor(math.log2(n)))
+    for kk in (k, k + 1):
+        for g in grid:
+            v = int(round(2 ** kk * g))
+            if v >= n:
+                return v
+    return 2 ** (k + 2)
+
+
+def pad_problem(problem: BAProblem, ncams_to: int | None = None,
+                npnts_to: int | None = None,
+                nobs_pad_to: int | None = None) -> BAProblem:
+    """Zero-weight padding of all three dimensions so different problems
+    share one compiled XLA program (shapes key the compile cache; remote
+    compiles are minutes each — docs/performance.md).
+
+    Padded cameras/points replicate row 0 (valid projection math) but
+    receive no observations: their gradients and Hessian blocks are
+    exactly zero, so their damped steps are zero and no stopping test
+    changes except the ``||x||`` scale in `small_step` (disable
+    satol/srtol or account for it when padding).
+    """
+    ncams_to = max(ncams_to or 0, problem.ncams)
+    npnts_to = max(npnts_to or 0, problem.npnts)
+    nobs_pad_to = max(nobs_pad_to or 0, problem.nobs_pad)
+    if (ncams_to, npnts_to, nobs_pad_to) == (
+            problem.ncams, problem.npnts, problem.nobs_pad):
+        return problem
+    n = problem.nobs
+    cams = np.asarray(problem.cams)
+    points = np.asarray(problem.points)
+    cams_p = np.concatenate(
+        [cams, np.tile(cams[:1], (ncams_to - cams.shape[0], 1))])
+    points_p = np.concatenate(
+        [points, np.tile(points[:1], (npnts_to - points.shape[0], 1))])
+    return BAProblem.from_arrays(
+        cams_p, points_p, np.asarray(problem.cam_idx[:n]),
+        np.asarray(problem.pnt_idx[:n]), np.asarray(problem.pt2d[:n]),
+        dtype=problem.dtype, pad_obs_to=nobs_pad_to, name=problem.name)
+
+
+def pad_to_buckets(problem: BAProblem) -> BAProblem:
+    """Pad all three dims to the shared-shape grid (`_bucket`)."""
+    return pad_problem(problem, _bucket(problem.ncams),
+                       _bucket(problem.npnts),
+                       _bucket(max(problem.nobs_pad, 1024)))
+
+
 def synthetic_suite(max_nobs: int | None = None, dtype=np.float64,
                     noise_px: float = 1.0, perturb: float = 2e-2,
                     pad_obs_to: int = 512,

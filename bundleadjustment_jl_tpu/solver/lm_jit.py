@@ -65,9 +65,11 @@ STATUS_NAMES = {
 }
 
 # Static configuration shared by the jitted init/segment kernels.
+# ``gather_mode`` mirrors ops.gatherfree.MODE purely to key the jit cache —
+# the ops read the global at trace time, so a mode flip must retrace.
 _STATIC = ("max_iters", "pcg_max_iters", "use_dense", "use_cgls",
-           "use_power", "linesearch", "ls_max", "lam0_mode", "lam_strategy",
-           "use_forcing", "facto_dtype", "pcg_warm")
+           "use_power", "linesearch", "ls_max", "lam0_mode",
+           "use_forcing", "facto_dtype", "pcg_warm", "gather_mode")
 
 
 class LMJitResult(NamedTuple):
@@ -108,7 +110,8 @@ def _objective(problem, cams, points):
 
 
 def _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol, ortol,
-                nu_d, nu_m, accept_ratio, good_ratio, lam_min, pcg_rtol):
+                nu_d, nu_m, accept_ratio, good_ratio, lam_min, pcg_rtol,
+                lam_strategy="ref"):
     """Traced hyperparameter dict; ``None`` tolerances resolve to the
     reference defaults in the working dtype (`lm.jl:21-24`)."""
     eps = jnp.finfo(dtype).eps
@@ -123,6 +126,7 @@ def _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol, ortol,
         nu_m=pick(nu_m, 3.0), accept_ratio=pick(accept_ratio, 1e-4),
         good_ratio=pick(good_ratio, 0.9), lam_min=pick(lam_min, 1e-8),
         pcg_rtol=pick(pcg_rtol, 0.0),
+        nielsen=pick(1.0 if lam_strategy == "nielsen" else 0.0, 0.0),
     )
 
 
@@ -132,26 +136,25 @@ def _maybe_cast_facto(blocks, facto_dtype):
     passing the type into `ldl_analyse`; low-type L storage
     `ldl_aux.jl:272-282`). The outer LM (residuals, gradients, acceptance,
     tolerances) stays in the working dtype; only the bulk per-observation
-    ``W`` blocks and the diagonal Hessian blocks are stored in
-    ``facto_dtype`` (bf16 halves the dominant HBM traffic of the PCG
-    matvec). Products accumulate in f32 on the MXU."""
+    ``W`` blocks (27 floats/obs — the dominant HBM traffic of the PCG
+    matvec) are stored in ``facto_dtype``. The small diagonal blocks
+    (``Hcc``: 81/camera, ``Hpp``: 9/point) stay full-precision — measured:
+    casting them too degrades step quality enough to inflate LM iterations
+    ~4x, wiping out the byte saving. Products accumulate in f32 (MXU)."""
     if facto_dtype is None:
         return blocks
     fd = jnp.dtype(facto_dtype)
-    return blocks._replace(
-        W_f=blocks.W_f.astype(fd),
-        Hcc_f=blocks.Hcc_f.astype(fd),
-        Hpp_f=blocks.Hpp_f.astype(fd))
+    return blocks._replace(W_f=blocks.W_f.astype(fd))
 
 
 @partial(jax.jit, static_argnames=_STATIC)
 def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
-             ls_max, lam0_mode, lam_strategy, use_forcing, facto_dtype,
-             pcg_warm):
+             ls_max, lam0_mode, use_forcing, facto_dtype,
+             pcg_warm, gather_mode):
     """Initial linearization + solver state (one compiled dispatch)."""
     del pcg_max_iters, use_dense, use_power, linesearch, ls_max
-    del lam_strategy, use_forcing, pcg_warm
+    del use_forcing, pcg_warm, gather_mode
     dtype = cams.dtype
     blocks0 = assemble_blocks(problem, cams, points, with_jr=use_cgls)
     obj0 = blocks0.obj
@@ -194,9 +197,9 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
 @partial(jax.jit, static_argnames=_STATIC)
 def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
-            lam_strategy, use_forcing, facto_dtype, pcg_warm):
+            use_forcing, facto_dtype, pcg_warm, gather_mode):
     """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
-    del lam0_mode
+    del lam0_mode, gather_mode
     dtype = state["cams"].dtype
 
     def linearize(c, p):
@@ -225,7 +228,7 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
 
         rtol_cg = (forcing_rtol(gnorm) if use_forcing
                    else hp["pcg_rtol"]).astype(dtype)
-        lam_f = lam.astype(blocks.W_f.dtype)
+        lam_f = lam
         if use_cgls:
             from bundleadjustment_jl_tpu.ops.cgls import cgls_solve
             cres = cgls_solve(problem, blocks, lam, rtol=rtol_cg,
@@ -308,29 +311,34 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         cams_t = cams + s_sel * dc
         points_t = points + s_sel * dp
 
-        # lambda update: reference schedule (`lm.jl:306-337`) or Nielsen
+        # lambda update: reference schedule (`lm.jl:306-337`) or Nielsen.
+        # Both are computed and selected by the TRACED hp["nielsen"] flag —
+        # a handful of scalar ops buys one fewer XLA program per config
+        # (remote compiles are minutes each).
         nrej_new = jnp.where(accept, 0, st["nrejects"] + 1).astype(jnp.int32)
-        if lam_strategy == "nielsen":
-            rho = jnp.where(pred > 0, ared / pred, -jnp.inf)
-            lam_acc = jnp.maximum(
-                lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
-                hp["lam_min"])
-            lam_rej = lam * st["nu"]
-            nu_new = jnp.where(accept, 2.0, st["nu"] * 2.0).astype(dtype)
-        else:
-            lam_acc = jnp.maximum(
-                lam / hp["nu_d"]
-                / jnp.where(ared >= hp["good_ratio"] * pred, hp["nu_d"], 1.0),
-                hp["lam_min"])
-            dnorm_safe = jnp.where(jnp.isfinite(dnorm), dnorm, jnp.inf)
-            # Reference reject rule `lm.jl:306-308`:
-            # lambda = max(lambda, 1/||delta||) * nu_m^(ntimes+1) with
-            # ntimes = linesearch halvings this iteration (0 without
-            # linesearch -> one factor nu_m per reject, NOT cumulative).
-            n_halvings = ls_max if linesearch else 0
-            lam_rej = (jnp.maximum(lam, 1.0 / jnp.maximum(dnorm_safe, 1e-300))
-                       * hp["nu_m"] ** (n_halvings + 1))
-            nu_new = st["nu"]
+        nielsen = hp["nielsen"] > 0
+        rho = jnp.where(pred > 0, ared / pred, -jnp.inf)
+        nl_acc = jnp.maximum(
+            lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            hp["lam_min"])
+        nl_rej = lam * st["nu"]
+        ref_acc = jnp.maximum(
+            lam / hp["nu_d"]
+            / jnp.where(ared >= hp["good_ratio"] * pred, hp["nu_d"], 1.0),
+            hp["lam_min"])
+        dnorm_safe = jnp.where(jnp.isfinite(dnorm), dnorm, jnp.inf)
+        # Reference reject rule `lm.jl:306-308`:
+        # lambda = max(lambda, 1/||delta||) * nu_m^(ntimes+1) with
+        # ntimes = linesearch halvings this iteration (0 without
+        # linesearch -> one factor nu_m per reject, NOT cumulative).
+        n_halvings = ls_max if linesearch else 0
+        ref_rej = (jnp.maximum(lam, 1.0 / jnp.maximum(dnorm_safe, 1e-300))
+                   * hp["nu_m"] ** (n_halvings + 1))
+        lam_acc = jnp.where(nielsen, nl_acc, ref_acc)
+        lam_rej = jnp.where(nielsen, nl_rej, ref_rej)
+        nu_new = jnp.where(
+            nielsen,
+            jnp.where(accept, 2.0, st["nu"] * 2.0), st["nu"]).astype(dtype)
         lam_new = jnp.where(accept, lam_acc, lam_rej)
 
         # Re-linearize only on accept.
@@ -402,15 +410,17 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
     points = problem.points if points is None else points
     hp = _resolve_hp(cams.dtype, atol, rtol, restol, satol, srtol, oatol,
                      ortol, nu_d, nu_m, accept_ratio, good_ratio, lam_min,
-                     pcg_rtol)
+                     pcg_rtol, lam_strategy)
     static = dict(max_iters=max_iters, pcg_max_iters=pcg_max_iters,
                   use_dense=use_dense, use_cgls=use_cgls,
                   use_power=use_power, linesearch=linesearch, ls_max=ls_max,
-                  lam0_mode=lam0_mode, lam_strategy=lam_strategy,
+                  lam0_mode=lam0_mode,
                   use_forcing=pcg_rtol is None,
                   facto_dtype=(None if facto_dtype is None
                                else jnp.dtype(facto_dtype).name),
                   pcg_warm=pcg_warm)
+    from bundleadjustment_jl_tpu.ops import gatherfree
+    static["gather_mode"] = gatherfree.MODE
     return cams, points, hp, static
 
 

@@ -113,6 +113,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+# Persistent XLA compile cache: remote-TPU compiles run minutes per shape;
+# cached executables load in seconds (safe no-op on CPU).
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from bundleadjustment_jl_tpu.benchmark.problems import (
@@ -135,6 +142,8 @@ def main():
     full = build_solvers(full_matrix=True)
     core = build_solvers(full_matrix=False)
 
+    from bundleadjustment_jl_tpu.benchmark.problems import pad_to_buckets
+
     rows = []
     for name, problem in suite(dtype):
         if problem.nobs <= args.full_matrix_max_nobs:
@@ -144,7 +153,15 @@ def main():
             print(f"[bmark] {name}: large problem -> core configs only "
                   f"({sorted(core)}; {sorted(set(full) - set(core))} "
                   f"gated)", flush=True)
-        rows += run_campaign(solvers, [(name, problem)])
+        nvar_true, nequ_true = problem.nvar, problem.nequ
+        padded = pad_to_buckets(problem)   # shared compiled shapes
+        new = run_campaign(solvers, [(name, padded)])
+        for r in new:
+            r["nvar"], r["nequ"] = nvar_true, nequ_true
+            r["rmse_px"] = (2.0 * r["objective"] / max(nequ_true, 1)) ** 0.5 \
+                if r["objective"] < float("inf") else float("inf")
+            r["padded_dims"] = [padded.ncams, padded.npnts, padded.nobs_pad]
+        rows += new
         save_stats(rows, os.path.join(args.out, "stats.jsonl"))  # incremental
 
     with open(os.path.join(args.out, "tables.md"), "w") as f:
