@@ -29,6 +29,12 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Persistent XLA compile cache: remote-TPU compiles run minutes per shape;
+# cached executables load in seconds (safe no-op on CPU).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402

@@ -34,6 +34,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# Persistent XLA compile cache: remote-TPU compiles run minutes per shape;
+# cached executables load in seconds (safe no-op on CPU).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def build_solvers(full_matrix: bool, dense_max_ncams: int = 512):
     """name -> fn(problem) -> result-protocol object (compile-separated)."""
@@ -112,14 +120,6 @@ def main():
     ap.add_argument("--diffprec-max-nobs", type=int, default=600_000)
     args = ap.parse_args()
 
-    import jax
-
-# Persistent XLA compile cache: remote-TPU compiles run minutes per shape;
-# cached executables load in seconds (safe no-op on CPU).
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from bundleadjustment_jl_tpu.benchmark.problems import (
