@@ -23,16 +23,16 @@ from bundleadjustment_jl_tpu.models.problem import BAProblem
 # BASELINE.json north-star configs the reference never ran: Trafalgar-257
 # (downloaded by `get_data.sh` but absent from every reference log),
 # Venice-1778 and Final-13682 (beyond its single-node design).
-BAL_SIZES = [
+BAL_SIZES = [  # ordered by nobs so campaign tier gating is monotone
     ("LadyBug", 49, 7776, 31843),
     ("LadyBug", 73, 11032, 46122),
     ("LadyBug", 138, 19878, 85217),
     ("LadyBug", 318, 41628, 179919),
+    ("Trafalgar", 257, 65132, 225911),
     ("LadyBug", 460, 56811, 241877),
     ("LadyBug", 646, 73584, 327297),
     ("LadyBug", 810, 88814, 393775),
     ("LadyBug", 1031, 110968, 500265),
-    ("Trafalgar", 257, 65132, 225911),
     ("Dubrovnik", 202, 132796, 751652),
     ("Dubrovnik", 356, 226730, 1255268),
     ("Venice", 427, 310384, 1699145),

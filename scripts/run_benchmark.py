@@ -91,9 +91,10 @@ def build_solvers(full_matrix: bool, dense_max_ncams: int = 512):
         return solve
 
     solvers = {}
-    kinds = ("pcg", "dense", "cgls", "power") if full_matrix else ("pcg",
-                                                                   "power")
-    strategies = ("ref", "nielsen") if full_matrix else ("ref", "nielsen")
+    # core = the pcg family only: one extra XLA program (the linesearch
+    # variant) per problem shape; remote compiles are minutes each.
+    kinds = ("pcg", "dense", "cgls", "power") if full_matrix else ("pcg",)
+    strategies = ("ref", "nielsen")
     for kind in kinds:
         for strategy in strategies:
             for ls in (False, True) if full_matrix else (False,):
@@ -142,8 +143,9 @@ def main():
     full = build_solvers(full_matrix=True)
     core = build_solvers(full_matrix=False)
 
-    from bundleadjustment_jl_tpu.benchmark.problems import pad_to_buckets
-
+    # NB: `problems.pad_to_buckets` exists for suites with shared sizes;
+    # the BAL ladder has none, and unpadded shapes let bench.py reuse this
+    # campaign's compile cache.
     rows = []
     for name, problem in suite(dtype):
         if problem.nobs <= args.full_matrix_max_nobs:
@@ -153,15 +155,7 @@ def main():
             print(f"[bmark] {name}: large problem -> core configs only "
                   f"({sorted(core)}; {sorted(set(full) - set(core))} "
                   f"gated)", flush=True)
-        nvar_true, nequ_true = problem.nvar, problem.nequ
-        padded = pad_to_buckets(problem)   # shared compiled shapes
-        new = run_campaign(solvers, [(name, padded)])
-        for r in new:
-            r["nvar"], r["nequ"] = nvar_true, nequ_true
-            r["rmse_px"] = (2.0 * r["objective"] / max(nequ_true, 1)) ** 0.5 \
-                if r["objective"] < float("inf") else float("inf")
-            r["padded_dims"] = [padded.ncams, padded.npnts, padded.nobs_pad]
-        rows += new
+        rows += run_campaign(solvers, [(name, problem)])
         save_stats(rows, os.path.join(args.out, "stats.jsonl"))  # incremental
 
     with open(os.path.join(args.out, "tables.md"), "w") as f:

@@ -1,0 +1,99 @@
+"""Single-chip capacity runs: Venice-1350, Venice-1778, Final-13682.
+
+The reference stalls on Venice-1350 at iteration 1 after 1.9e3 s
+(`reference/benchmark/first/lmldlamd_big.log`) and never attempts anything
+larger. Round 1 of this framework compiled Venice-1350 single-chip but
+crashed at execution (9.9 GB peak — Jc/Jp/r materialization); round 2's
+solver keeps only the reduced blocks (`assemble_blocks(with_jr=False)`),
+so these runs fit one chip. Final runs use the chunked driver
+(checkpoints + wall-clock bound) with bf16 W storage — the configuration
+a production Final-scale run would use.
+
+Writes one JSON line per run; also appends to benchmark_results/capacity.jsonl.
+
+Usage: python scripts/tpu_capacity.py [max_nobs]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal  # noqa: E402
+from bundleadjustment_jl_tpu.solver.lm_jit import (  # noqa: E402
+    STATUS_NAMES, levenberg_marquardt_jit_chunked)
+
+RUNS = [
+    # (family, ncams, npnts, obs_per_pnt, max_iters, facto)
+    ("Venice", 1350, 894716, 5, 30, None),
+    ("Venice", 1778, 993923, 5, 30, None),
+    ("Final", 13682, 4456117, 7, 10, "bfloat16"),
+]
+
+REF_NOTE = {
+    1350: "reference stalls at iter 1 after 1.9e3 s",
+    1778: "reference never ran Venice-1778",
+    13682: "reference never attempted Final scale",
+}
+
+
+def main(max_nobs=40_000_000):
+    out_path = "benchmark_results/capacity.jsonl"
+    os.makedirs("benchmark_results", exist_ok=True)
+    print(f"backend={jax.default_backend()}", flush=True)
+    for family, ncams, npnts, opp, max_iters, facto in RUNS:
+        if npnts * opp > max_nobs:
+            continue
+        t0 = time.perf_counter()
+        problem, _ = synthetic_bal(
+            ncams=ncams, npnts=npnts, obs_per_pnt=opp, noise_px=1.0,
+            perturb=2e-2, seed=ncams, dtype=jnp.float32, pad_obs_to=512)
+        gen_s = time.perf_counter() - t0
+        print(f"[capacity] {family}-{ncams}: nobs={problem.nobs} "
+              f"gen {gen_s:.0f}s", flush=True)
+        t0 = time.perf_counter()
+        try:
+            res = levenberg_marquardt_jit_chunked(
+                problem, max_iters=max_iters, chunk_iters=5,
+                max_time=3600.0, pcg_max_iters=100, lam0_mode="diag",
+                satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
+                oatol=0.0, ortol=1e-4,
+                facto_dtype=facto,
+                callback=lambda d: print(f"[capacity]   {d}", flush=True))
+            obj = float(res.objective)
+            row = {
+                "problem": f"{family}-{ncams}-{npnts}",
+                "nobs": problem.nobs, "nvar": problem.nvar,
+                "gen_s": round(gen_s, 1),
+                "wall_s": round(time.perf_counter() - t0, 1),
+                "solve_s": round(res.elapsed_time, 1),
+                "iters": int(res.iterations),
+                "status": STATUS_NAMES[int(res.status)],
+                "objective": obj,
+                "rmse_px": round((2 * obj / (2 * problem.nobs)) ** 0.5, 4),
+                "expected_obj": round(
+                    0.5 * (2 * problem.nobs - problem.nvar), 0),
+                "facto_dtype": facto, "chip": "single",
+                "ref_note": REF_NOTE.get(ncams, ""),
+            }
+        except Exception as e:
+            row = {"problem": f"{family}-{ncams}-{npnts}",
+                   "nobs": problem.nobs, "error": repr(e)[:300],
+                   "wall_s": round(time.perf_counter() - t0, 1)}
+        print(json.dumps(row), flush=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        del problem
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000)

@@ -40,7 +40,7 @@ def main(max_nobs=5_000_000):
         problem, _ = synthetic_bal(
             ncams=ncams, npnts=npnts, obs_per_pnt=obs_per_pnt,
             noise_px=1.0, perturb=2e-2, seed=ncams,
-            dtype=jnp.float32, pad_obs_to=1024)
+            dtype=jnp.float32, pad_obs_to=512)
         gen_s = time.perf_counter() - t0
 
         solve = lambda p: levenberg_marquardt_jit(  # noqa: E731
