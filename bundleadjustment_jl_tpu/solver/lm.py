@@ -101,6 +101,7 @@ class LMOptions:
     #                                       series (ops/pcg.power_series)
     pcg_rtol: Optional[float] = None      # None -> Eisenstat-Walker forcing
     pcg_max_iters: int = 100
+    pcg_warm: bool = False                # warm-start CG from previous dc
     verbose: bool = False
     checkpoint_dir: Optional[str] = None  # rotate step-<n>.npz checkpoints
     checkpoint_every: int = 10
@@ -170,7 +171,7 @@ def _objective_at(problem: BAProblem, cams, points):
 
 @partial(jax.jit, static_argnames=("method", "pcg_max_iters"))
 def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
-                  method: str, pcg_max_iters: int):
+                  method: str, pcg_max_iters: int, dc0=None):
     """Damp, reduce, solve for (dc, dp); also return the step's quadratic
     model pieces ``gd = g'd`` and ``Jd2 = ||J d||^2`` so predicted reduction
     at any scaled step ``s*d`` is ``-s*gd - 0.5*s^2*Jd2`` (used by the
@@ -202,7 +203,7 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
         L = block_cholesky(schur_diag_blocks(sys))
         res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                   lambda v: block_cho_solve(L, v),
-                  rtol=pcg_rtol, max_iters=pcg_max_iters)
+                  rtol=pcg_rtol, max_iters=pcg_max_iters, x0=dc0)
         dc, cg_iters = res.x, res.iters
         dp = back_substitute(sys, dc)
     gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
@@ -295,6 +296,7 @@ def levenberg_marquardt(problem: BAProblem,
     it = it0
     nrejects = 0
     nu = 2.0  # Nielsen reject-growth factor
+    dc_prev = None  # PCG warm-start carry (opts.pcg_warm)
     if opts.verbose:
         print(_LOG_HEADER)
 
@@ -313,8 +315,12 @@ def levenberg_marquardt(problem: BAProblem,
                     else float(forcing_rtol(jnp.asarray(float(gnorm)))))
         dc, dp, gd, Jd2, dnorm, cg_iters = _compute_step(
             problem, blocks, lam, pcg_rtol, opts.solver,
-            opts.pcg_max_iters)
+            opts.pcg_max_iters,
+            dc0=dc_prev if (opts.pcg_warm and opts.solver == "pcg")
+            else None)
         gd, Jd2, dnorm = float(gd), float(Jd2), float(dnorm)
+        if opts.pcg_warm and np.isfinite(float(dnorm)):
+            dc_prev = dc
 
         if not np.isfinite(dnorm):
             # NaN step (near-indefinite system at small lambda in low
