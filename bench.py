@@ -20,6 +20,7 @@ honest speed-of-light on this backend.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -93,6 +94,17 @@ def main():
         return p
 
     lady_s, lady_res, lady_obj, lady_p = run(lady)
+    if os.environ.get("BENCH_SMALL") == "1":   # CI smoke: skip the 1.36M-obs
+        nequ = 2 * lady_p.nobs                 # problem on CPU runners
+        print(json.dumps({
+            "metric": "ladybug49_synth_lm_solve",
+            "value": round(lady_s, 4), "unit": "s",
+            "vs_baseline": round(BASE_LADYBUG_S / lady_s, 2),
+            "backend": backend,
+            "status": STATUS_NAMES[int(lady_res.status)],
+            "rmse_px": round((2.0 * lady_obj / nequ) ** 0.5, 4),
+        }))
+        return
     dub_s, dub_res, dub_obj, dub_p = run(dubrovnik)
 
     it = int(dub_res.iterations)
