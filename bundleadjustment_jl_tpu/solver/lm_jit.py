@@ -69,7 +69,8 @@ STATUS_NAMES = {
 # the ops read the global at trace time, so a mode flip must retrace.
 _STATIC = ("max_iters", "pcg_max_iters", "use_dense", "use_cgls",
            "use_power", "linesearch", "ls_max", "lam0_mode",
-           "use_forcing", "facto_dtype", "pcg_warm", "gather_mode")
+           "use_forcing", "facto_dtype", "pcg_warm", "gather_mode",
+           "sorted_mode")
 
 
 class LMJitResult(NamedTuple):
@@ -151,10 +152,10 @@ def _maybe_cast_facto(blocks, facto_dtype):
 def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
              ls_max, lam0_mode, use_forcing, facto_dtype,
-             pcg_warm, gather_mode):
+             pcg_warm, gather_mode, sorted_mode):
     """Initial linearization + solver state (one compiled dispatch)."""
     del pcg_max_iters, use_dense, use_power, linesearch, ls_max
-    del use_forcing, pcg_warm, gather_mode
+    del use_forcing, pcg_warm, gather_mode, sorted_mode
     dtype = cams.dtype
     blocks0 = assemble_blocks(problem, cams, points, with_jr=use_cgls)
     obj0 = blocks0.obj
@@ -197,9 +198,9 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
 @partial(jax.jit, static_argnames=_STATIC)
 def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
-            use_forcing, facto_dtype, pcg_warm, gather_mode):
+            use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode):
     """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
-    del lam0_mode, gather_mode
+    del lam0_mode, gather_mode, sorted_mode
     dtype = state["cams"].dtype
 
     def linearize(c, p):
@@ -419,8 +420,11 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
                   facto_dtype=(None if facto_dtype is None
                                else jnp.dtype(facto_dtype).name),
                   pcg_warm=pcg_warm)
-    from bundleadjustment_jl_tpu.ops import gatherfree
+    # Trace-time global flags mirrored into the static key so flag flips
+    # retrace (the ops read the globals during tracing).
+    from bundleadjustment_jl_tpu.ops import gatherfree, segsum
     static["gather_mode"] = gatherfree.MODE
+    static["sorted_mode"] = segsum.SORTED_MODE
     return cams, points, hp, static
 
 
