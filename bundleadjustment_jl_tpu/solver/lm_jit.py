@@ -195,7 +195,12 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
     )
 
 
-@partial(jax.jit, static_argnames=_STATIC)
+# ``state`` is DONATED: without donation the full solver state (including
+# the (nobs*27,) W blocks) stays pinned as an input while the while-loop
+# double-buffers its carry — a ~2x peak-memory tax over the round-1
+# single-program structure that crashed the TPU worker at Dubrovnik-356
+# scale. Callers never reuse the state they pass in.
+@partial(jax.jit, static_argnames=_STATIC, donate_argnums=(1,))
 def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
             use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode):
