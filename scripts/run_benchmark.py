@@ -119,6 +119,11 @@ def main():
     ap.add_argument("--diffprec", action="store_true",
                     help="also run the mixed-precision study")
     ap.add_argument("--diffprec-max-nobs", type=int, default=600_000)
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="resume: skip (problem, solver) pairs already in "
+                         "stats.jsonl (worker-crash exception rows retry)")
+    ap.add_argument("--skip-main", action="store_true",
+                    help="skip the main campaign (diffprec only)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -146,17 +151,33 @@ def main():
     # NB: `problems.pad_to_buckets` exists for suites with shared sizes;
     # the BAL ladder has none, and unpadded shapes let bench.py reuse this
     # campaign's compile cache.
+    from bundleadjustment_jl_tpu.benchmark.runner import load_stats
+    stats_path = os.path.join(args.out, "stats.jsonl")
     rows = []
-    for name, problem in suite(dtype):
-        if problem.nobs <= args.full_matrix_max_nobs:
-            solvers = full
-        else:
-            solvers = core
-            print(f"[bmark] {name}: large problem -> core configs only "
-                  f"({sorted(core)}; {sorted(set(full) - set(core))} "
-                  f"gated)", flush=True)
-        rows += run_campaign(solvers, [(name, problem)])
-        save_stats(rows, os.path.join(args.out, "stats.jsonl"))  # incremental
+    done = set()
+    if args.skip_existing and os.path.exists(stats_path):
+        for r in load_stats(stats_path):
+            crash = "crashed or restarted" in r.get("error", "")
+            if not crash:
+                rows.append(r)
+                done.add((r["problem"], r["solver"]))
+    if not args.skip_main:
+        for name, problem in suite(dtype):
+            if problem.nobs <= args.full_matrix_max_nobs:
+                solvers = full
+            else:
+                solvers = core
+                print(f"[bmark] {name}: large problem -> core configs only "
+                      f"({sorted(core)}; {sorted(set(full) - set(core))} "
+                      f"gated)", flush=True)
+            todo = {s: f for s, f in solvers.items()
+                    if (name, s) not in done}
+            if not todo:
+                print(f"[bmark] {name}: all rows present, skipping",
+                      flush=True)
+                continue
+            rows += run_campaign(todo, [(name, problem)])
+            save_stats(rows, stats_path)  # incremental
 
     with open(os.path.join(args.out, "tables.md"), "w") as f:
         f.write(markdown_table(rows, columns=(

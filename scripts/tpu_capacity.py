@@ -46,11 +46,16 @@ REF_NOTE = {
 }
 
 
-def main(max_nobs=40_000_000):
+def main(max_nobs=40_000_000, only=None):
+    """``only``: run a single RUNS index — one OS process per attempt, so
+    a TPU-worker crash on one problem cannot poison the next (the runtime
+    offers no in-process recovery after `UNAVAILABLE: worker crashed`)."""
     out_path = "benchmark_results/capacity.jsonl"
     os.makedirs("benchmark_results", exist_ok=True)
     print(f"backend={jax.default_backend()}", flush=True)
-    for family, ncams, npnts, opp, max_iters, facto in RUNS:
+    for i, (family, ncams, npnts, opp, max_iters, facto) in enumerate(RUNS):
+        if only is not None and i != only:
+            continue
         if npnts * opp > max_nobs:
             continue
         t0 = time.perf_counter()
@@ -96,4 +101,10 @@ def main(max_nobs=40_000_000):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("max_nobs", nargs="?", type=int, default=40_000_000)
+    ap.add_argument("--only", type=int, default=None,
+                    help="run a single RUNS index (process isolation)")
+    a = ap.parse_args()
+    main(a.max_nobs, a.only)
