@@ -121,17 +121,16 @@ class GNBlocks(NamedTuple):
 
 def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
     """Pick an observation-chunk size for streaming assembly: None for
-    small problems (whole-width is fastest), else the largest power-of-two
-    divisor of ``n`` up to 2^16. Bounds XLA temp memory: the unfused
-    linearization chain materializes ~8 KB/obs of intermediates, which at
-    Venice scale (4.5M obs) would exceed HBM (measured: OOM at 1.25M)."""
-    if n <= threshold:
-        return None
-    for c in (1 << 16, 1 << 15, 1 << 14, 1 << 13, 1 << 12,
-              1 << 11, 1 << 10, 1 << 9, 1 << 8, 1 << 7):
-        if n % c == 0:
-            return c
-    return None
+    small problems (whole-width is fastest), else a fixed 16384. Bounds
+    XLA temp memory: the unfused linearization chain materializes
+    ~8 KB/obs of intermediates, which at Venice scale (4.5M obs) would
+    exceed HBM (measured: OOM at 1.25M). The chunk no longer needs to
+    divide ``n`` (callers handle the remainder as one tail block) — the
+    old largest-power-of-two-divisor rule could degenerate to chunk=512
+    with thousands of scan steps, which crashes the experimental TPU
+    runtime (measured at Dubrovnik-356, pad 512: chunk 512 x 2657 steps
+    kills the worker; chunk 1024 x 1329 is fine)."""
+    return None if n <= threshold else 1 << 14
 
 
 def assemble_blocks(problem: BAProblem, cams=None, points=None,
@@ -159,7 +158,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         chunk = auto_chunk(n)
     from bundleadjustment_jl_tpu.ops.blockmul import (
         jcT_dot, jjT_outer, jpT_dot)
-    if chunk is None or n % chunk != 0 or n <= chunk:
+    if chunk is None or n <= chunk:
         r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
         Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
         obj = 0.5 * jnp.vdot(r, r)
@@ -176,18 +175,35 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
 
     from bundleadjustment_jl_tpu.ops.jacobian import rj_raw
     from bundleadjustment_jl_tpu.ops.segsum import segment_sum_scatter
-    nchunks = n // chunk
+    nchunks = n // chunk          # remainder rows handled as one tail block
+    nfull = nchunks * chunk
+    rem = n - nfull
     nc, np_ = problem.ncams, problem.npnts
     dt = cams.dtype
+
+    def block(ci, pi, xy_f, w, m):
+        """One chunk's contributions (m = rows in this block)."""
+        r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(m, 2), w)
+        Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
+        return (0.5 * jnp.vdot(r, r),
+                segment_sum_scatter(jcT_dot(Jc_f, r), ci, nc),
+                segment_sum_scatter(jpT_dot(Jp_f, r), pi, np_),
+                segment_sum_scatter(jjT_outer(Jc_f, 9, Jc_f, 9), ci,
+                                    nc).reshape(nc, 9, 9),
+                segment_sum_scatter(jjT_outer(Jp_f, 3, Jp_f, 3), pi,
+                                    np_).reshape(np_, 3, 3),
+                jjT_outer(Jc_f, 9, Jp_f, 3),
+                (r, Jc_f, Jp_f))
+
     # NB: scan xs/ys buffers keep the per-step shape as minor dims, and TPU
     # tile-pads minor dims (2,9)->(8,128) etc. — measured 4+ GB of padding
     # copies at 1.4M obs. All per-step arrays therefore travel FLAT
     # (chunk*d,) and are reshaped outside the scan (both sides packed
     # row-major -> free).
-    xs = (problem.cam_idx.reshape(nchunks, chunk),
-          problem.pnt_idx.reshape(nchunks, chunk),
-          problem.pt2d.reshape(nchunks, chunk * 2),
-          problem.w.reshape(nchunks, chunk))
+    xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
+          problem.pnt_idx[:nfull].reshape(nchunks, chunk),
+          problem.pt2d[:nfull].reshape(nchunks, chunk * 2),
+          problem.w[:nfull].reshape(nchunks, chunk))
     carry0 = (jnp.zeros((nc, 9), dt), jnp.zeros((np_, 3), dt),
               jnp.zeros((nc, 9, 9), dt), jnp.zeros((np_, 3, 3), dt),
               jnp.zeros((), dt))
@@ -195,29 +211,34 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     def body(carry, x):
         g_c, g_p, Hcc, Hpp, obj = carry
         ci, pi, xy_f, w = x
-        r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(chunk, 2), w)
-        Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
-        obj = obj + 0.5 * jnp.vdot(r, r)
-        g_c = g_c + segment_sum_scatter(jcT_dot(Jc_f, r), ci, nc)
-        g_p = g_p + segment_sum_scatter(jpT_dot(Jp_f, r), pi, np_)
-        Hcc = Hcc + segment_sum_scatter(
-            jjT_outer(Jc_f, 9, Jc_f, 9), ci, nc).reshape(nc, 9, 9)
-        Hpp = Hpp + segment_sum_scatter(
-            jjT_outer(Jp_f, 3, Jp_f, 3), pi, np_).reshape(np_, 3, 3)
-        W = jjT_outer(Jc_f, 9, Jp_f, 3)
+        dobj, dg_c, dg_p, dHcc, dHpp, W, (r, Jc_f, Jp_f) = block(
+            ci, pi, xy_f, w, chunk)
         ys = (W.reshape(-1),) if not with_jr else (
             W.reshape(-1), r.reshape(-1), Jc_f, Jp_f)
-        return (g_c, g_p, Hcc, Hpp, obj), ys
+        return (g_c + dg_c, g_p + dg_p, Hcc + dHcc, Hpp + dHpp,
+                obj + dobj), ys
 
     (g_c, g_p, Hcc, Hpp, obj), ys = jax.lax.scan(body, carry0, xs)
-    W = ys[0]
+    W = ys[0].reshape(-1)
     r, Jc, Jp = (ys[1], ys[2], ys[3]) if with_jr else (None, None, None)
     flat = lambda x: None if x is None else x.reshape(-1)  # noqa: E731
+    r, Jc, Jp = flat(r), flat(Jc), flat(Jp)
+    if rem:
+        dobj, dg_c, dg_p, dHcc, dHpp, W_t, (r_t, Jc_t, Jp_t) = block(
+            problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
+            problem.pt2d[nfull:].reshape(-1), problem.w[nfull:], rem)
+        obj = obj + dobj
+        g_c, g_p = g_c + dg_c, g_p + dg_p
+        Hcc, Hpp = Hcc + dHcc, Hpp + dHpp
+        W = jnp.concatenate([W, W_t.reshape(-1)])
+        if with_jr:
+            r = jnp.concatenate([r, r_t.reshape(-1)])
+            Jc = jnp.concatenate([Jc, Jc_t])
+            Jp = jnp.concatenate([Jp, Jp_t])
     return GNBlocks(
         g_c_f=g_c.reshape(-1), g_p_f=g_p.reshape(-1),
         Hcc_f=Hcc.reshape(-1), Hpp_f=Hpp.reshape(-1),
-        W_f=W.reshape(-1), obj=obj, r_f=flat(r),
-        Jc_f=flat(Jc), Jp_f=flat(Jp))
+        W_f=W, obj=obj, r_f=r, Jc_f=Jc, Jp_f=Jp)
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

@@ -140,27 +140,36 @@ def schur_diag_blocks(sys: SchurSystem,
     ncams = sys.Hcc_l.shape[0]
     if chunk == "auto":
         chunk = auto_chunk(n)
-    if chunk is None or n % chunk != 0 or n <= chunk:
+    if chunk is None or n <= chunk:
         Hpp_inv_obs = take_pnt(sys.Hpp_inv, sys.pnt_idx, sys.pnt_starts,
                                sys.pnt_perm)
         WCW = jnp.einsum("kab,kbc,kdc->kad", sys.W, Hpp_inv_obs, sys.W)
         return sys.Hcc_l - _seg_cam(sys, WCW)
 
-    nchunks = n // chunk
+    nchunks = n // chunk      # remainder handled as one tail block
+    nfull = nchunks * chunk
+    rem = n - nfull
+
+    def wcw_sum(W_f, ci, pi, m):
+        W = W_f.reshape(m, 9, 3)
+        WCW = jnp.einsum("kab,kbc,kdc->kad", W, sys.Hpp_inv[pi], W)
+        return segment_sum_scatter(WCW, ci, ncams)
+
     # flat per-step layout — see the tile-padding note in
     # ops/normal.py:assemble_blocks
-    xs = (sys.W.reshape(nchunks, chunk * 27),
-          sys.cam_idx.reshape(nchunks, chunk),
-          sys.pnt_idx.reshape(nchunks, chunk))
+    xs = (sys.W_f[:nfull * 27].reshape(nchunks, chunk * 27),
+          sys.cam_idx[:nfull].reshape(nchunks, chunk),
+          sys.pnt_idx[:nfull].reshape(nchunks, chunk))
 
     def body(acc, x):
         W_f, ci, pi = x
-        W = W_f.reshape(chunk, 9, 3)
-        WCW = jnp.einsum("kab,kbc,kdc->kad", W, sys.Hpp_inv[pi], W)
-        return acc + segment_sum_scatter(WCW, ci, ncams), None
+        return acc + wcw_sum(W_f, ci, pi, chunk), None
 
     acc, _ = jax.lax.scan(
         body, jnp.zeros_like(sys.Hcc_l), xs)
+    if rem:
+        acc = acc + wcw_sum(sys.W_f[nfull * 27:], sys.cam_idx[nfull:],
+                            sys.pnt_idx[nfull:], rem)
     return sys.Hcc_l - acc
 
 
