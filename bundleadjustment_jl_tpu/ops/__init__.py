@@ -16,3 +16,5 @@ from bundleadjustment_jl_tpu.ops.pcg import (  # noqa: F401
     power_series)
 from bundleadjustment_jl_tpu.ops.cgls import (  # noqa: F401
     cgls_solve, CGLSResult, j_matvec, jt_matvec)
+from bundleadjustment_jl_tpu.ops.pallas_schur import (  # noqa: F401
+    wtv_point_reduce, wt_cam_reduce)

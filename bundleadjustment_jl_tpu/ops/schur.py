@@ -55,6 +55,10 @@ class SchurSystem(NamedTuple):
     cam_perm: jnp.ndarray | None = None
     cam_starts: jnp.ndarray | None = None
     pnt_perm: jnp.ndarray | None = None  # None = rows already point-sorted
+    # Camera-sorted copy of W (built once per reduce_system when the Pallas
+    # path is on) — lets the cam-direction fused kernel stream contiguous
+    # segments instead of re-permuting per matvec.
+    W_cam_f: jnp.ndarray | None = None
 
     @property
     def Hcc_l(self):
@@ -75,6 +79,11 @@ class SchurSystem(NamedTuple):
     @property
     def g_p(self):
         return self.g_p_f.reshape(-1, 3)
+
+
+def _use_pallas(sys: "SchurSystem") -> bool:
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    return pallas_schur.PALLAS_MODE and pallas_schur.available(sys)
 
 
 def _seg_pnt(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
@@ -108,6 +117,15 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       pnt_perm=problem.pnt_perm)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
+    if _use_pallas(sys):
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        W_cam_f = blocks.W_f.reshape(-1, 27)[sys.cam_perm].reshape(-1)
+        sys = sys._replace(W_cam_f=W_cam_f)
+        tmp_obs_cam = tmp[sys.pnt_idx[sys.cam_perm]]
+        corr = pallas_schur.wt_cam_reduce(
+            W_cam_f, tmp_obs_cam, sys.cam_idx[sys.cam_perm],
+            sys.cam_starts, sys.Hcc_l.shape[0])
+        return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
     tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
                        problem.pnt_perm)
     corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp_obs))
@@ -117,6 +135,18 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
+    if _use_pallas(sys) and sys.W_cam_f is not None:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        # One fused pass per direction: the W'v point reduce folds the
+        # Hpp_inv apply in-kernel; the cam reduce streams the
+        # camera-sorted W copy built in reduce_system.
+        t = pallas_schur.wtv_point_reduce(
+            sys.W_f, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f)
+        u2 = pallas_schur.wt_cam_reduce(
+            sys.W_cam_f, t[sys.pnt_idx[sys.cam_perm]],
+            sys.cam_idx[sys.cam_perm], sys.cam_starts, sys.Hcc_l.shape[0])
+        return u - u2
     # W' v, accumulated per point
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(v, sys.cam_idx)))
     t = jnp.einsum("pab,pb->pa", sys.Hpp_inv, t)
@@ -175,6 +205,12 @@ def schur_diag_blocks(sys: SchurSystem,
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
+    if _use_pallas(sys):
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        return pallas_schur.wtv_point_reduce(
+            sys.W_f, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f,
+            add_gp=sys.g_p_f, sign=-1.0)
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))
     return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
 

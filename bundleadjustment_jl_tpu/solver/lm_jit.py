@@ -70,7 +70,7 @@ STATUS_NAMES = {
 _STATIC = ("max_iters", "pcg_max_iters", "use_dense", "use_cgls",
            "use_power", "linesearch", "ls_max", "lam0_mode",
            "use_forcing", "facto_dtype", "pcg_warm", "gather_mode",
-           "sorted_mode")
+           "sorted_mode", "pallas_mode")
 
 
 class LMJitResult(NamedTuple):
@@ -152,10 +152,10 @@ def _maybe_cast_facto(blocks, facto_dtype):
 def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
              ls_max, lam0_mode, use_forcing, facto_dtype,
-             pcg_warm, gather_mode, sorted_mode):
+             pcg_warm, gather_mode, sorted_mode, pallas_mode):
     """Initial linearization + solver state (one compiled dispatch)."""
     del pcg_max_iters, use_dense, use_power, linesearch, ls_max
-    del use_forcing, pcg_warm, gather_mode, sorted_mode
+    del use_forcing, pcg_warm, gather_mode, sorted_mode, pallas_mode
     dtype = cams.dtype
     blocks0 = assemble_blocks(problem, cams, points, with_jr=use_cgls)
     obj0 = blocks0.obj
@@ -203,9 +203,10 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
 @partial(jax.jit, static_argnames=_STATIC, donate_argnums=(1,))
 def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
-            use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode):
+            use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode,
+            pallas_mode):
     """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
-    del lam0_mode, gather_mode, sorted_mode
+    del lam0_mode, gather_mode, sorted_mode, pallas_mode
     dtype = state["cams"].dtype
 
     def linearize(c, p):
@@ -427,9 +428,10 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
                   pcg_warm=pcg_warm)
     # Trace-time global flags mirrored into the static key so flag flips
     # retrace (the ops read the globals during tracing).
-    from bundleadjustment_jl_tpu.ops import gatherfree, segsum
+    from bundleadjustment_jl_tpu.ops import gatherfree, pallas_schur, segsum
     static["gather_mode"] = gatherfree.MODE
     static["sorted_mode"] = segsum.SORTED_MODE
+    static["pallas_mode"] = pallas_schur.PALLAS_MODE
     return cams, points, hp, static
 
 

@@ -7,6 +7,8 @@ performance narrative (docs/performance.md):
   gatherfree   one-hot/cumsum row indexing (ops/gatherfree.py)
   bf16facto    native + bf16 factorization storage
   gf+bf16      both
+  pallas       fused Pallas Schur kernels (ops/pallas_schur.py)
+  pallas+bf16  fused kernels streaming bf16 W storage
 
 Prints per-config solve seconds (second run, compiled executable cached)
 and per-iteration ms. Usage:
@@ -30,7 +32,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal  # noqa: E402
-from bundleadjustment_jl_tpu.ops import gatherfree  # noqa: E402
+from bundleadjustment_jl_tpu.ops import gatherfree, pallas_schur  # noqa: E402
 from bundleadjustment_jl_tpu.solver.lm_jit import (  # noqa: E402
     STATUS_NAMES, levenberg_marquardt_jit)
 
@@ -52,9 +54,12 @@ def main(ncams=318, npnts=41628, obs_per_pnt=4):
         ("gatherfree", "gatherfree", None),
         ("bf16facto", "native", jnp.bfloat16),
         ("gf+bf16", "gatherfree", jnp.bfloat16),
+        ("pallas", "native", None),
+        ("pallas+bf16", "native", jnp.bfloat16),
     ]
     for name, mode, fd in configs:
         gatherfree.set_mode(mode)
+        pallas_schur.set_mode(name.startswith("pallas"))
         try:
             t0 = time.perf_counter()
             res = levenberg_marquardt_jit(problem, facto_dtype=fd, **opts)
@@ -77,6 +82,7 @@ def main(ncams=318, npnts=41628, obs_per_pnt=4):
             print(json.dumps({"config": name, "error": repr(e)[:200]}),
                   flush=True)
     gatherfree.set_mode("native")
+    pallas_schur.set_mode(False)
 
 
 if __name__ == "__main__":
