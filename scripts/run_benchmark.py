@@ -197,10 +197,20 @@ def main():
             facto_solve, precision_cascade)
         from bundleadjustment_jl_tpu.solver.lm_jit import (
             STATUS_NAMES, levenberg_marquardt_jit)
+        dpath = os.path.join(args.out, "diffprec.jsonl")
         drows = []
+        ddone = set()
+        if args.skip_existing and os.path.exists(dpath):
+            drows = [r for r in load_stats(dpath)
+                     if "crashed or restarted" not in r.get("error", "")]
+            ddone = {r["problem"] for r in drows}
         opts = dict(lam0_mode="diag", satol=0.0, srtol=0.0, atol=0.0,
                     rtol=1e-5, oatol=0.0, ortol=1e-4)
         for name, problem in suite(jnp.float32):
+            if name in ddone:
+                print(f"[diffprec] {name}: rows present, skipping",
+                      flush=True)
+                continue
             if problem.nobs > args.diffprec_max_nobs:
                 print(f"[diffprec] {name} skipped (> "
                       f"{args.diffprec_max_nobs} obs)", flush=True)
@@ -234,7 +244,7 @@ def main():
                 print(f"[diffprec] {name} {r_['stage']}: {r_['status']} "
                       f"obj={r_['objective']:.6g} it={r_['iterations']} "
                       f"t={r_['elapsed_s']:.2f}s", flush=True)
-            save_stats(drows, os.path.join(args.out, "diffprec.jsonl"))
+            save_stats(drows, dpath)
 
 
 if __name__ == "__main__":
