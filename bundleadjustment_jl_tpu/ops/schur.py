@@ -55,10 +55,14 @@ class SchurSystem(NamedTuple):
     cam_perm: jnp.ndarray | None = None
     cam_starts: jnp.ndarray | None = None
     pnt_perm: jnp.ndarray | None = None  # None = rows already point-sorted
-    # Camera-sorted copy of W (built once per reduce_system when the Pallas
-    # path is on) — lets the cam-direction fused kernel stream contiguous
-    # segments instead of re-permuting per matvec.
-    W_cam_f: jnp.ndarray | None = None
+    # Fused-kernel operands (built once per reduce_system when the Pallas
+    # path is on; see ops/pallas_schur.py's layout contract): ``W_t`` is
+    # the k-minor (32, nobs_pad) view of W in point-sorted order;
+    # ``Y_cam_t`` the k-minor view of ``Y = W Hpp_inv`` in camera-sorted
+    # order — streaming Y on the camera side absorbs the point-diagonal
+    # solve, so ``S v = Hcc_l v - segsum_cam(Y_k t_raw[pnt_k])``.
+    W_t: jnp.ndarray | None = None
+    Y_cam_t: jnp.ndarray | None = None
 
     @property
     def Hcc_l(self):
@@ -119,12 +123,20 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        W_cam_f = blocks.W_f.reshape(-1, 27)[sys.cam_perm].reshape(-1)
-        sys = sys._replace(W_cam_f=W_cam_f)
-        tmp_obs_cam = tmp[sys.pnt_idx[sys.cam_perm]]
+        W_t = pallas_schur.to_k_minor(blocks.W_f)
+        # Y = W Hpp_inv per observation (once per lambda) — the camera
+        # pass streams Y so the matvec needs no point-diagonal apply.
+        Y = jnp.einsum("kab,kbc->kac", blocks.W,
+                       Hpp_inv[problem.pnt_idx]).astype(blocks.W_f.dtype)
+        Y_cam_t = pallas_schur.to_k_minor(
+            Y.reshape(-1))[:, sys.cam_perm]
+        sys = sys._replace(W_t=W_t, Y_cam_t=Y_cam_t)
+        # b = -g_c + segsum_cam(Y_k g_p[pnt_k])
+        gp8 = pallas_schur.pad_rows(blocks.g_p.T, 8)
         corr = pallas_schur.wt_cam_reduce(
-            W_cam_f, tmp_obs_cam, sys.cam_idx[sys.cam_perm],
-            sys.cam_starts, sys.Hcc_l.shape[0])
+            Y_cam_t, gp8[:, sys.pnt_idx[sys.cam_perm]],
+            sys.cam_idx[sys.cam_perm], sys.cam_starts,
+            sys.Hcc_l.shape[0])
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
     tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
                        problem.pnt_perm)
@@ -135,16 +147,17 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
-    if _use_pallas(sys) and sys.W_cam_f is not None:
+    if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        # One fused pass per direction: the W'v point reduce folds the
-        # Hpp_inv apply in-kernel; the cam reduce streams the
-        # camera-sorted W copy built in reduce_system.
-        t = pallas_schur.wtv_point_reduce(
-            sys.W_f, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
-            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f)
+        # One fused pass per direction, one lane gather between them:
+        # raw t8 = segsum_pnt(W'v) emerges k-minor (8, npnts); the camera
+        # pass streams Y = W Hpp_inv (built in reduce_system), which
+        # absorbs the point-diagonal solve.
+        t8 = pallas_schur.wtv_point_reduce(
+            sys.W_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Hpp_inv.shape[0], out_k8=True)
         u2 = pallas_schur.wt_cam_reduce(
-            sys.W_cam_f, t[sys.pnt_idx[sys.cam_perm]],
+            sys.Y_cam_t, t8[:, sys.pnt_idx[sys.cam_perm]],
             sys.cam_idx[sys.cam_perm], sys.cam_starts, sys.Hcc_l.shape[0])
         return u - u2
     # W' v, accumulated per point
@@ -205,10 +218,10 @@ def schur_diag_blocks(sys: SchurSystem,
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
-    if _use_pallas(sys):
+    if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
         return pallas_schur.wtv_point_reduce(
-            sys.W_f, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.W_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
             sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f,
             add_gp=sys.g_p_f, sign=-1.0)
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))

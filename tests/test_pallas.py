@@ -39,9 +39,16 @@ def test_point_reduce_matches_scatter(sys_v):
     oracle = segment_sum_scatter(
         wT_dot_a(s.W_f, v[s.cam_idx]), s.pnt_idx, prob.npnts)
     got = pallas_schur.wtv_point_reduce(
-        s.W_f, v, s.pnt_idx, s.cam_idx, s.pnt_starts, prob.npnts,
-        interpret=True)
+        pallas_schur.to_k_minor(s.W_f), v, s.pnt_idx, s.cam_idx,
+        s.pnt_starts, prob.npnts, interpret=True)
     assert float(jnp.max(jnp.abs(got - oracle))) <= _tol(oracle)
+    # k-minor (8, npnts) raw output for the in-matvec handoff
+    got8 = pallas_schur.wtv_point_reduce(
+        pallas_schur.to_k_minor(s.W_f), v, s.pnt_idx, s.cam_idx,
+        s.pnt_starts, prob.npnts, out_k8=True, interpret=True)
+    assert got8.shape == (8, prob.npnts)
+    assert float(jnp.max(jnp.abs(got8[:3] - oracle.T))) <= _tol(oracle)
+    assert float(jnp.max(jnp.abs(got8[3:]))) == 0.0
 
 
 def test_point_reduce_fold_and_backsub(sys_v):
@@ -49,14 +56,15 @@ def test_point_reduce_fold_and_backsub(sys_v):
     t = segment_sum_scatter(
         wT_dot_a(s.W_f, v[s.cam_idx]), s.pnt_idx, prob.npnts)
     folded = jnp.einsum("pab,pb->pa", s.Hpp_inv, t)
+    W_t = pallas_schur.to_k_minor(s.W_f)
     got = pallas_schur.wtv_point_reduce(
-        s.W_f, v, s.pnt_idx, s.cam_idx, s.pnt_starts, prob.npnts,
+        W_t, v, s.pnt_idx, s.cam_idx, s.pnt_starts, prob.npnts,
         hpp_inv_f=s.Hpp_inv_f, interpret=True)
     assert float(jnp.max(jnp.abs(got - folded))) <= _tol(folded)
 
     dp = -jnp.einsum("pab,pb->pa", s.Hpp_inv, s.g_p + t)
     got_dp = pallas_schur.wtv_point_reduce(
-        s.W_f, v, s.pnt_idx, s.cam_idx, s.pnt_starts, prob.npnts,
+        W_t, v, s.pnt_idx, s.cam_idx, s.pnt_starts, prob.npnts,
         hpp_inv_f=s.Hpp_inv_f, add_gp=s.g_p_f, sign=-1.0, interpret=True)
     assert float(jnp.max(jnp.abs(got_dp - dp))) <= _tol(dp)
 
@@ -68,10 +76,10 @@ def test_cam_reduce_matches_scatter(sys_v):
         dtype=jnp.float32)
     oracle = segment_sum_scatter(
         w_dot_b(s.W_f, t_obs), s.cam_idx, prob.ncams)
-    W_cam_f = s.W_f.reshape(-1, 27)[s.cam_perm].reshape(-1)
+    W_cam_t = pallas_schur.to_k_minor(s.W_f)[:, s.cam_perm]
     got = pallas_schur.wt_cam_reduce(
-        W_cam_f, t_obs[s.cam_perm], s.cam_idx[s.cam_perm], s.cam_starts,
-        prob.ncams, interpret=True)
+        W_cam_t, pallas_schur.pad_rows(t_obs.T, 8)[:, s.cam_perm],
+        s.cam_idx[s.cam_perm], s.cam_starts, prob.ncams, interpret=True)
     assert float(jnp.max(jnp.abs(got - oracle))) <= _tol(oracle)
 
 
@@ -84,7 +92,7 @@ def test_schur_matvec_dispatch(sys_v):
         pallas_schur.set_mode(True)
         pallas_schur.INTERPRET = True
         s2 = schur.reduce_system(prob, blocks, 1e-2)
-        assert s2.W_cam_f is not None
+        assert s2.W_t is not None and s2.Y_cam_t is not None
         assert float(jnp.max(jnp.abs(s2.b - s.b))) <= _tol(s.b)
         got = schur.schur_matvec(s2, v)
         dc = jnp.asarray(
