@@ -22,7 +22,8 @@ Reference parity map (file:line cites point into /root/reference):
 - `src/lm.jl`, `src/LevenbergMarquardt.jl`, `src/lm_givens.jl` -> solver/lm.py
 - `src/qr_aux.jl`, `src/ldl_aux.jl` (SPQR/LDLT)
       -> ops/schur.py + ops/pcg.py (Schur complement + PCG replace sparse
-         factorizations; see SURVEY.md §2.2)
+         factorizations; see SURVEY.md §2.2); ops/pallas_schur.py fuses
+         each matvec direction into one streaming Pallas kernel pass
 - `src/lma_aux.jl` (equilibration -> block-Jacobi preconditioning in
   ops/pcg.py; COO SpMV -> ops/blockmul.py; mixed precision shims ->
   benchmark/precision.py + solver facto_dtype)

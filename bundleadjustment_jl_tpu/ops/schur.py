@@ -127,7 +127,9 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
         # Y = W Hpp_inv per observation (once per lambda) — the camera
         # pass streams Y so the matvec needs no point-diagonal apply.
         Y = jnp.einsum("kab,kbc->kac", blocks.W,
-                       Hpp_inv[problem.pnt_idx]).astype(blocks.W_f.dtype)
+                       Hpp_inv[problem.pnt_idx],
+                       precision=jax.lax.Precision.HIGHEST,
+                       ).astype(blocks.W_f.dtype)
         Y_cam_t = pallas_schur.to_k_minor(
             Y.reshape(-1))[:, sys.cam_perm]
         sys = sys._replace(W_t=W_t, Y_cam_t=Y_cam_t)

@@ -91,8 +91,17 @@ def main(max_nobs=40_000_000, only=None):
                 "ref_note": REF_NOTE.get(ncams, ""),
             }
         except Exception as e:
+            import traceback
+            traceback.print_exc()
+            msg = repr(e)
+            # The tunnel wraps real XLA/Mosaic errors in an HTTP 500
+            # boilerplate; keep the informative tail too.
+            key = next((ln for ln in msg.splitlines()
+                        if "error:" in ln.lower() or "Mosaic" in ln
+                        or "RESOURCE_EXHAUSTED" in ln), "")
             row = {"problem": f"{family}-{ncams}-{npnts}",
-                   "nobs": problem.nobs, "error": repr(e)[:300],
+                   "nobs": problem.nobs, "error": msg[:300],
+                   "error_detail": key[:500],
                    "wall_s": round(time.perf_counter() - t0, 1)}
         print(json.dumps(row), flush=True)
         with open(out_path, "a") as f:
