@@ -81,6 +81,15 @@ def main():
     backend = jax.default_backend()
     dtype = jnp.float32
 
+    # Fused Pallas Schur kernels: the headline configuration on TPU
+    # (2.5x end-to-end vs the XLA path, logs/abtest_pallas2.log).
+    # BENCH_PALLAS=0 opts out; CPU keeps the XLA path (no Mosaic there).
+    use_pallas = (backend == "tpu"
+                  and os.environ.get("BENCH_PALLAS", "1") != "0")
+    if use_pallas:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        pallas_schur.set_mode(True)
+
     def lady(seed):
         p, _ = synthetic_bal(ncams=49, npnts=7776, obs_per_pnt=4,
                              noise_px=1.0, perturb=2e-2, seed=seed,
@@ -124,6 +133,7 @@ def main():
         "per_iter_ms": round(1e3 * dub_s / max(it, 1), 2),
         "objective": dub_obj,
         "rmse_px": round((2.0 * dub_obj / nequ) ** 0.5, 4),
+        "pallas": use_pallas,
         "traffic_model_gb": round(bytes_moved / 1e9, 2),
         "achieved_gbs": round(achieved_gbs, 2),
         "roofline_fraction": round(achieved_gbs / MEASURED_STREAM_GBS, 3),

@@ -215,6 +215,10 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
         res = _dot(diag_ref[:].astype(jnp.float32) * rep,
                    _iota01((9, 3), lambda r: r // 3, lambda c: c),
                    ((1,), (0,)))                               # (P, 3)
+    elif has_add:
+        # post-reduce additive term (no diagonal fold) — serves
+        # back_substitute's  -(Hpp_inv g_p + segsum(Y' dc))  form.
+        res = res + add_ref[:].astype(jnp.float32)
     res = sign * res
     if out_k8:
         # (d_out, P) -> zero-padded (8, P) via a 0/1 row placer.
@@ -266,9 +270,9 @@ def _seg_block_reduce(W_t, idx_row, bounds, nseg, *, d_x, d_out,
     if fold_diag:
         in_specs.append(pl.BlockSpec((P, 9), lambda t, b: (t, 0)))
         args.append(diag.reshape(nseg, 9))
-        if has_add:
-            in_specs.append(pl.BlockSpec((P, 3), lambda t, b: (t, 0)))
-            args.append(add.reshape(nseg, 3))
+    if has_add:
+        in_specs.append(pl.BlockSpec((P, 3), lambda t, b: (t, 0)))
+        args.append(add.reshape(nseg, 3))
 
     def kernel(bounds_ref, *refs):
         it = iter(refs)
@@ -334,6 +338,28 @@ def to_k_minor(W_f: jnp.ndarray) -> jnp.ndarray:
 def pad_rows(x_t: jnp.ndarray, rows: int) -> jnp.ndarray:
     """Zero-pad a k-minor (d, n) operand to ``rows`` sublanes."""
     return jnp.pad(x_t, ((0, rows - x_t.shape[0]), (0, 0)))
+
+
+def y_k_minor(W_t, hpp_inv_f, pnt_idx, dtype=None) -> jnp.ndarray:
+    """k-minor (K_PAD, n_pad) of ``Y_k = W_k Hpp_inv[pnt_k]`` computed
+    entirely in k-minor space: three row-permuted elementwise
+    multiply-adds over (27, n) arrays.  An einsum over (n, 9, 3)-shaped
+    operands would tile-pad 19-76x on TPU (measured 10.4 GB at
+    Dubrovnik-356 scale) — small minor dims must never touch the two
+    minor axes of a large array."""
+    n = W_t.shape[1]
+    C_t = hpp_inv_f.reshape(-1, 9).T[:, pnt_idx]          # (9, n) k-minor
+    r = jnp.arange(27)
+    a3, c = (r // 3) * 3, r % 3
+    Wf = W_t[:27].astype(jnp.float32)
+    Cf = C_t.astype(jnp.float32)
+    # Y[3a+c] = sum_b W[3a+b] * Cinv[3b+c]
+    out = jnp.zeros((27, n), jnp.float32)
+    for b in range(3):
+        out = out + Wf[a3 + b] * Cf[3 * b + c]
+    if dtype is not None:
+        out = out.astype(dtype)
+    return jnp.pad(out, ((0, K_PAD - 27), (0, 0)))
 
 
 def wtv_point_reduce(W_t, v, pnt_idx, cam_idx, pnt_starts, npnts, *,

@@ -56,13 +56,18 @@ class SchurSystem(NamedTuple):
     cam_starts: jnp.ndarray | None = None
     pnt_perm: jnp.ndarray | None = None  # None = rows already point-sorted
     # Fused-kernel operands (built once per reduce_system when the Pallas
-    # path is on; see ops/pallas_schur.py's layout contract): ``W_t`` is
-    # the k-minor (32, nobs_pad) view of W in point-sorted order;
-    # ``Y_cam_t`` the k-minor view of ``Y = W Hpp_inv`` in camera-sorted
-    # order — streaming Y on the camera side absorbs the point-diagonal
-    # solve, so ``S v = Hcc_l v - segsum_cam(Y_k t_raw[pnt_k])``.
-    W_t: jnp.ndarray | None = None
-    Y_cam_t: jnp.ndarray | None = None
+    # path is on; see ops/pallas_schur.py's layout contract): ``Y_t`` is
+    # the k-minor (32, nobs_pad) view of ``Y = W Hpp_inv`` in point-sorted
+    # order — since Hpp_inv is constant within a point segment, streaming
+    # Y in the POINT direction yields the diagonally-solved reduce
+    # directly (segsum_pnt(Y' v) = Hpp_inv segsum_pnt(W' v)); ``W_cam_t``
+    # the k-minor W in camera-sorted order for the return pass.  Two
+    # streamed arrays total: ``S v = Hcc_l v - segsum_cam(W_k t[pnt_k])``.
+    # ``gp_hat_f`` = flat (npnts*3,) ``Hpp_inv g_p`` (back-substitution
+    # additive term).
+    Y_t: jnp.ndarray | None = None
+    W_cam_t: jnp.ndarray | None = None
+    gp_hat_f: jnp.ndarray | None = None
 
     @property
     def Hcc_l(self):
@@ -120,23 +125,22 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       cam_starts=problem.cam_starts,
                       pnt_perm=problem.pnt_perm)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
-    tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p)          # (npnts,3)
+    tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p,
+                 precision=jax.lax.Precision.HIGHEST)        # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
+        # Y = W Hpp_inv per observation (once per lambda), streamed in
+        # the POINT direction; W streams back in the camera direction.
         W_t = pallas_schur.to_k_minor(blocks.W_f)
-        # Y = W Hpp_inv per observation (once per lambda) — the camera
-        # pass streams Y so the matvec needs no point-diagonal apply.
-        Y = jnp.einsum("kab,kbc->kac", blocks.W,
-                       Hpp_inv[problem.pnt_idx],
-                       precision=jax.lax.Precision.HIGHEST,
-                       ).astype(blocks.W_f.dtype)
-        Y_cam_t = pallas_schur.to_k_minor(
-            Y.reshape(-1))[:, sys.cam_perm]
-        sys = sys._replace(W_t=W_t, Y_cam_t=Y_cam_t)
-        # b = -g_c + segsum_cam(Y_k g_p[pnt_k])
-        gp8 = pallas_schur.pad_rows(blocks.g_p.T, 8)
+        Y_t = pallas_schur.y_k_minor(W_t, sys.Hpp_inv_f, sys.pnt_idx,
+                                     dtype=blocks.W_f.dtype)
+        W_cam_t = W_t[:, sys.cam_perm]
+        sys = sys._replace(Y_t=Y_t, W_cam_t=W_cam_t,
+                           gp_hat_f=tmp.reshape(-1))
+        # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
+        tmp8 = pallas_schur.pad_rows(tmp.T, 8)
         corr = pallas_schur.wt_cam_reduce(
-            Y_cam_t, gp8[:, sys.pnt_idx[sys.cam_perm]],
+            W_cam_t, tmp8[:, sys.pnt_idx[sys.cam_perm]],
             sys.cam_idx[sys.cam_perm], sys.cam_starts,
             sys.Hcc_l.shape[0])
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
@@ -148,18 +152,18 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
 
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
-    u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v)
-    if _use_pallas(sys) and sys.W_t is not None:
+    u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v,
+                   precision=jax.lax.Precision.HIGHEST)
+    if _use_pallas(sys) and sys.Y_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
         # One fused pass per direction, one lane gather between them:
-        # raw t8 = segsum_pnt(W'v) emerges k-minor (8, npnts); the camera
-        # pass streams Y = W Hpp_inv (built in reduce_system), which
-        # absorbs the point-diagonal solve.
+        # streaming Y point-wise makes t8 = Hpp_inv segsum_pnt(W'v)
+        # emerge k-minor (8, npnts) already diagonally solved.
         t8 = pallas_schur.wtv_point_reduce(
-            sys.W_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Y_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
             sys.Hpp_inv.shape[0], out_k8=True)
         u2 = pallas_schur.wt_cam_reduce(
-            sys.Y_cam_t, t8[:, sys.pnt_idx[sys.cam_perm]],
+            sys.W_cam_t, t8[:, sys.pnt_idx[sys.cam_perm]],
             sys.cam_idx[sys.cam_perm], sys.cam_starts, sys.Hcc_l.shape[0])
         return u - u2
     # W' v, accumulated per point
@@ -220,12 +224,12 @@ def schur_diag_blocks(sys: SchurSystem,
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
-    if _use_pallas(sys) and sys.W_t is not None:
+    if _use_pallas(sys) and sys.Y_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
+        # dp = -(Hpp_inv g_p + segsum_pnt(Y' dc)) — post-reduce add.
         return pallas_schur.wtv_point_reduce(
-            sys.W_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
-            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f,
-            add_gp=sys.g_p_f, sign=-1.0)
+            sys.Y_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Hpp_inv.shape[0], add_gp=sys.gp_hat_f, sign=-1.0)
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))
     return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
 

@@ -92,7 +92,7 @@ def test_schur_matvec_dispatch(sys_v):
         pallas_schur.set_mode(True)
         pallas_schur.INTERPRET = True
         s2 = schur.reduce_system(prob, blocks, 1e-2)
-        assert s2.W_t is not None and s2.Y_cam_t is not None
+        assert s2.Y_t is not None and s2.W_cam_t is not None
         assert float(jnp.max(jnp.abs(s2.b - s.b))) <= _tol(s.b)
         got = schur.schur_matvec(s2, v)
         dc = jnp.asarray(
