@@ -18,11 +18,22 @@ zeroing, cf. the disabled branch `BALNLPModels.jl:20-27`), all functions here
 are AD-safe at ``theta -> 0`` via the standard double-`where` trick, so
 `jax.jacfwd`/`jax.jacrev` produce finite derivatives everywhere. Every
 function is scalar-per-observation and meant to be `vmap`ed / `jit`ed.
+
+Inner products are written as ``sum(a * b)`` rather than ``jnp.dot``: under
+`vmap` a 3-vector dot becomes a batched (N,3)x(N,3) dot_general, which the
+TPU backend (default matmul precision) lowers by converting the operands to
+bf16 and materializing them tile-padded — gigabytes of transient HBM at
+Venice scale and a silent precision drop. Multiply+reduce stays a fused
+f32 elementwise op.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def _vdot3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b, axis=-1)
 
 # Below this squared angle we switch to the 2nd-order Taylor form of the
 # rotation, which is exact to ~eps at that scale and AD-safe at 0.
@@ -35,7 +46,7 @@ def rodrigues_rotate(r: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     R(r) X = cos(t) X + sin(t) (k x X) + (1 - cos(t)) (k . X) k,
     with t = |r|, k = r/t  (`src/BALNLPModels.jl:19-24`).
     """
-    theta_sq = jnp.dot(r, r)
+    theta_sq = _vdot3(r, r)
     safe = theta_sq > _SMALL_THETA_SQ
     # Double-where: guard the argument *before* the non-differentiable sqrt /
     # division so cotangents stay finite on the untaken branch.
@@ -44,7 +55,7 @@ def rodrigues_rotate(r: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     k = r / theta
     c = jnp.cos(theta)
     s = jnp.sin(theta)
-    rotated = c * X + s * jnp.cross(k, X) + (1.0 - c) * jnp.dot(k, X) * k
+    rotated = c * X + s * jnp.cross(k, X) + (1.0 - c) * _vdot3(k, X) * k
     # theta ~ 0: R X ~ X + r x X + 0.5 * r x (r x X)
     rxX = jnp.cross(r, X)
     small = X + rxX + 0.5 * jnp.cross(r, rxX)
@@ -54,7 +65,7 @@ def rodrigues_rotate(r: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
 def distortion_factor(p: jnp.ndarray, k1: jnp.ndarray, k2: jnp.ndarray) -> jnp.ndarray:
     """Radial distortion rho(p) = 1 + k1 |p|^2 + k2 |p|^4
     (`src/BALNLPModels.jl:11-14`, `scaling_factor`)."""
-    n2 = jnp.dot(p, p)
+    n2 = _vdot3(p, p)
     return 1.0 + k1 * n2 + k2 * n2 * n2
 
 

@@ -60,6 +60,26 @@ def _mm(prod: jnp.ndarray, B: np.ndarray) -> jnp.ndarray:
 SMALL_N = 1 << 18
 
 
+# --- symmetric 3x3 point-block products --------------------------------------
+
+_B9_A = _group_sum(9, 3, by_quotient=True)      # sum over b -> index a
+
+
+def m33_dot(M9: jnp.ndarray, t_rows: jnp.ndarray) -> jnp.ndarray:
+    """``einsum("pab,pb->pa", M, t)`` for flat (P, 9) 3x3 blocks
+    (row-major j = 3a + b), P-wide along points.
+
+    The einsum form materializes the (P, 3, 3) operand tile-padded
+    ({1,2,0:T(4,128)} — measured 57x at BAL point counts) and, at default
+    TPU matmul precision, in bf16; this stays flat-2-D and exact."""
+    n = M9.size // 9
+    if n <= SMALL_N:
+        return jnp.einsum("pab,pb->pa", M9.reshape(-1, 3, 3), t_rows,
+                          precision=jax.lax.Precision.HIGHEST)
+    M9 = M9.reshape(-1, 9)
+    return _mm(M9 * jnp.tile(t_rows, (1, 3)), _B9_A)
+
+
 # --- W (N,27) block products ------------------------------------------------
 
 def w_dot_b(W_f: jnp.ndarray, t_rows: jnp.ndarray) -> jnp.ndarray:

@@ -161,7 +161,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     if chunk is None or n <= chunk:
         r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
         Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
-        obj = 0.5 * jnp.vdot(r, r)
+        obj = 0.5 * jnp.sum(r * r)
         g_c = seg_by_cam(problem, jcT_dot(Jc_f, r))
         g_p = seg_by_pnt(problem, jpT_dot(Jp_f, r))
         Hcc = seg_by_cam(problem, jjT_outer(Jc_f, 9, Jc_f, 9)).reshape(
@@ -182,16 +182,20 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     dt = cams.dtype
 
     def block(ci, pi, xy_f, w, m):
-        """One chunk's contributions (m = rows in this block)."""
+        """One chunk's contributions (m = rows in this block).
+
+        Accumulator shapes stay FLAT 1-D: (npnts, 3, 3)-shaped scan
+        carries can be tile-padded by the TPU layout assigner (measured
+        up to 113x for {2,1,0:T(8,128)}); flat carries stay packed."""
         r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(m, 2), w)
         Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
-        return (0.5 * jnp.vdot(r, r),
-                segment_sum_scatter(jcT_dot(Jc_f, r), ci, nc),
-                segment_sum_scatter(jpT_dot(Jp_f, r), pi, np_),
+        return (0.5 * jnp.sum(r * r),
+                segment_sum_scatter(jcT_dot(Jc_f, r), ci, nc).reshape(-1),
+                segment_sum_scatter(jpT_dot(Jp_f, r), pi, np_).reshape(-1),
                 segment_sum_scatter(jjT_outer(Jc_f, 9, Jc_f, 9), ci,
-                                    nc).reshape(nc, 9, 9),
+                                    nc).reshape(-1),
                 segment_sum_scatter(jjT_outer(Jp_f, 3, Jp_f, 3), pi,
-                                    np_).reshape(np_, 3, 3),
+                                    np_).reshape(-1),
                 jjT_outer(Jc_f, 9, Jp_f, 3),
                 (r, Jc_f, Jp_f))
 
@@ -204,8 +208,8 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
           problem.pnt_idx[:nfull].reshape(nchunks, chunk),
           problem.pt2d[:nfull].reshape(nchunks, chunk * 2),
           problem.w[:nfull].reshape(nchunks, chunk))
-    carry0 = (jnp.zeros((nc, 9), dt), jnp.zeros((np_, 3), dt),
-              jnp.zeros((nc, 9, 9), dt), jnp.zeros((np_, 3, 3), dt),
+    carry0 = (jnp.zeros((nc * 9,), dt), jnp.zeros((np_ * 3,), dt),
+              jnp.zeros((nc * 81,), dt), jnp.zeros((np_ * 9,), dt),
               jnp.zeros((), dt))
 
     def body(carry, x):
@@ -236,8 +240,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
             Jc = jnp.concatenate([Jc, Jc_t])
             Jp = jnp.concatenate([Jp, Jp_t])
     return GNBlocks(
-        g_c_f=g_c.reshape(-1), g_p_f=g_p.reshape(-1),
-        Hcc_f=Hcc.reshape(-1), Hpp_f=Hpp.reshape(-1),
+        g_c_f=g_c, g_p_f=g_p, Hcc_f=Hcc, Hpp_f=Hpp,
         W_f=W, obj=obj, r_f=r, Jc_f=Jc, Jp_f=Jp)
 
 
@@ -287,6 +290,46 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
                              jnp.finfo(dt).tiny * 8.0)
     fallback = dinv[..., :, None] * jnp.eye(3, dtype=dt)
     return jnp.where(ok[..., None, None], inv, fallback)
+
+
+def inv3x3_damped_flat(Hpp_f: jnp.ndarray, lam) -> jnp.ndarray:
+    """``inv3x3(damp(Hpp, lam))`` computed entirely on flat (P, 9) columns
+    (row-major j = 3a + b) — the (P, 3, 3) shaped intermediates of the
+    shaped path can be materialized tile-padded ({2,1,0:T(8,128)}, up to
+    113x) inside the TPU while body at BAL point counts; column slices of
+    a (P, 9) view stay fused. Same conditioning guard as :func:`inv3x3`."""
+    dt = Hpp_f.dtype
+    if dt in (jnp.bfloat16, jnp.float16):
+        return inv3x3_damped_flat(Hpp_f.astype(jnp.float32),
+                                  lam).astype(dt)
+    M = Hpp_f.reshape(-1, 9)
+    lam = jnp.asarray(lam, dt)
+    a, b, c = M[:, 0] + lam, M[:, 1], M[:, 2]
+    d, e, f = M[:, 3], M[:, 4] + lam, M[:, 5]
+    g, h, i = M[:, 6], M[:, 7], M[:, 8] + lam
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    ok = jnp.isfinite(det) & (det > jnp.finfo(dt).tiny * 8.0)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    z = jnp.zeros_like(a)
+    da = 1.0 / jnp.maximum(jnp.where(jnp.isfinite(a), a, 0.0),
+                           jnp.finfo(dt).tiny * 8.0)
+    de = 1.0 / jnp.maximum(jnp.where(jnp.isfinite(e), e, 0.0),
+                           jnp.finfo(dt).tiny * 8.0)
+    di = 1.0 / jnp.maximum(jnp.where(jnp.isfinite(i), i, 0.0),
+                           jnp.finfo(dt).tiny * 8.0)
+    cols = [jnp.where(ok, adj * inv_det, fb) for adj, fb in
+            zip((A, B, C, D, E, F, G, H, I),
+                (da, z, z, z, de, z, z, z, di))]
+    return jnp.stack(cols, axis=-1).reshape(-1)
 
 
 def damp(H: jnp.ndarray, lam) -> jnp.ndarray:

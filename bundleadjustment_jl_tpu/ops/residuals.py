@@ -45,4 +45,4 @@ def residuals(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
 def objective(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
     """0.5 * ||r||^2, the reference's objective (`src/lm.jl:41`)."""
     r = residuals(problem, cams, points)
-    return 0.5 * jnp.vdot(r, r)
+    return 0.5 * jnp.sum(r * r)

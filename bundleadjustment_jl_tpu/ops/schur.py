@@ -30,9 +30,10 @@ import jax.numpy as jnp
 
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.blockmul import (
-    jc_dot, jp_dot, w_dot_b, wT_dot_a)
+    jc_dot, jp_dot, m33_dot, w_dot_b, wT_dot_a)
 from bundleadjustment_jl_tpu.ops.gatherfree import take_cam, take_pnt
-from bundleadjustment_jl_tpu.ops.normal import GNBlocks, damp, inv3x3
+from bundleadjustment_jl_tpu.ops.normal import (
+    GNBlocks, damp, inv3x3, inv3x3_damped_flat)
 from bundleadjustment_jl_tpu.ops.segsum import (
     segment_sum_scatter, sorted_segment_sum)
 
@@ -114,9 +115,9 @@ def _seg_cam(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
 def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     """Damp with ``lambda`` and form the reduced camera RHS."""
     Hcc_l = damp(blocks.Hcc, lam)
-    Hpp_inv = inv3x3(damp(blocks.Hpp, lam))
     sys = SchurSystem(Hcc_l_f=Hcc_l.reshape(-1),
-                      Hpp_inv_f=Hpp_inv.reshape(-1), W_f=blocks.W_f,
+                      Hpp_inv_f=inv3x3_damped_flat(blocks.Hpp_f, lam),
+                      W_f=blocks.W_f,
                       b_f=blocks.g_c_f,  # placeholder, replaced below
                       g_p_f=blocks.g_p_f, cam_idx=problem.cam_idx,
                       pnt_idx=problem.pnt_idx,
@@ -125,8 +126,7 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       cam_starts=problem.cam_starts,
                       pnt_perm=problem.pnt_perm)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
-    tmp = jnp.einsum("pab,pb->pa", Hpp_inv, blocks.g_p,
-                 precision=jax.lax.Precision.HIGHEST)        # (npnts,3)
+    tmp = m33_dot(sys.Hpp_inv_f, blocks.g_p)                 # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
         # Y = W Hpp_inv per observation (once per lambda), streamed in
@@ -168,7 +168,7 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
         return u - u2
     # W' v, accumulated per point
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(v, sys.cam_idx)))
-    t = jnp.einsum("pab,pb->pa", sys.Hpp_inv, t)
+    t = m33_dot(sys.Hpp_inv_f, t)
     t_obs = take_pnt(t, sys.pnt_idx, sys.pnt_starts, sys.pnt_perm)
     u2 = _seg_cam(sys, w_dot_b(sys.W_f, t_obs))
     return u - u2
@@ -185,13 +185,19 @@ def schur_diag_blocks(sys: SchurSystem,
     stream it chunked (cf. `ops/normal.py:auto_chunk`).
     """
     from bundleadjustment_jl_tpu.ops.normal import auto_chunk
-    n = sys.W.shape[0]
+    # NB: size//27, not sys.W.shape[0] — the property reshape of the flat W
+    # carry to (n, 9, 3) survives into the TPU while-body HLO even unused,
+    # where it is tile-padded 75.9x (18.3 GB at Venice-1350) and OOMs.
+    n = sys.W_f.size // 27
     ncams = sys.Hcc_l.shape[0]
     if chunk == "auto":
         chunk = auto_chunk(n)
+    # Gathers run on the flat (P, 9) view — a gather operand must be
+    # materialized, and (P, 3, 3) tables tile-pad up to 57x on TPU.
+    Hpp_inv9 = sys.Hpp_inv_f.reshape(-1, 9)
     if chunk is None or n <= chunk:
-        Hpp_inv_obs = take_pnt(sys.Hpp_inv, sys.pnt_idx, sys.pnt_starts,
-                               sys.pnt_perm)
+        Hpp_inv_obs = take_pnt(Hpp_inv9, sys.pnt_idx, sys.pnt_starts,
+                               sys.pnt_perm).reshape(-1, 3, 3)
         WCW = jnp.einsum("kab,kbc,kdc->kad", sys.W, Hpp_inv_obs, sys.W)
         return sys.Hcc_l - _seg_cam(sys, WCW)
 
@@ -201,7 +207,8 @@ def schur_diag_blocks(sys: SchurSystem,
 
     def wcw_sum(W_f, ci, pi, m):
         W = W_f.reshape(m, 9, 3)
-        WCW = jnp.einsum("kab,kbc,kdc->kad", W, sys.Hpp_inv[pi], W)
+        C = Hpp_inv9[pi].reshape(m, 3, 3)
+        WCW = jnp.einsum("kab,kbc,kdc->kad", W, C, W)
         return segment_sum_scatter(WCW, ci, ncams)
 
     # flat per-step layout — see the tile-padding note in
@@ -231,7 +238,7 @@ def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
             sys.Y_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
             sys.Hpp_inv.shape[0], add_gp=sys.gp_hat_f, sign=-1.0)
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))
-    return -jnp.einsum("pab,pb->pa", sys.Hpp_inv, sys.g_p + t)
+    return -m33_dot(sys.Hpp_inv_f, sys.g_p + t)
 
 
 def quad_form(problem: BAProblem, blocks: GNBlocks,
@@ -243,8 +250,9 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
     Mathematically >= 0; lets the solver drop the (nobs, 24) Jacobian
     arrays entirely (`assemble_blocks(with_jr=False)`).
     """
-    t_c = jnp.sum(dc * jnp.einsum("cab,cb->ca", blocks.Hcc, dc))
-    t_p = jnp.sum(dp * jnp.einsum("pab,pb->pa", blocks.Hpp, dp))
+    t_c = jnp.sum(dc * jnp.einsum("cab,cb->ca", blocks.Hcc, dc,
+                                  precision=jax.lax.Precision.HIGHEST))
+    t_p = jnp.sum(dp * m33_dot(blocks.Hpp_f, dp))
     dp_obs = take_pnt(dp, problem.pnt_idx, problem.pnt_starts,
                       problem.pnt_perm)
     cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)
@@ -281,7 +289,6 @@ def assemble_dense_schur(sys: SchurSystem) -> jnp.ndarray:
     """
     ncams = sys.Hcc_l.shape[0]
     npnts = sys.Hpp_inv.shape[0]
-    nobs = sys.W.shape[0]
     Y = jnp.einsum("kab,kbc->kac", sys.W, sys.Hpp_inv[sys.pnt_idx])
     # Dense U (9c x 3p) and Y_d from block scatters.
     U = jnp.zeros((ncams, 9, npnts, 3), dtype=sys.W.dtype)
@@ -290,7 +297,6 @@ def assemble_dense_schur(sys: SchurSystem) -> jnp.ndarray:
     Yd = Yd.at[sys.cam_idx, :, sys.pnt_idx, :].add(Y)
     S = -jnp.einsum("aipc,bjpc->aibj", Yd, U)
     S = S.at[jnp.arange(ncams), :, jnp.arange(ncams), :].add(sys.Hcc_l)
-    del nobs
     return S.reshape(9 * ncams, 9 * ncams)
 
 

@@ -166,7 +166,7 @@ def _linearize(problem: BAProblem, cams, points, with_jr: bool = True):
 @jax.jit
 def _objective_at(problem: BAProblem, cams, points):
     r = residuals(problem, cams, points)
-    return 0.5 * jnp.vdot(r, r)
+    return 0.5 * jnp.sum(r * r)
 
 
 @partial(jax.jit, static_argnames=("method", "pcg_max_iters"))

@@ -106,8 +106,11 @@ class LMJitResult(NamedTuple):
 
 
 def _objective(problem, cams, points):
+    # sum-of-squares, not vdot: under vmap (batched trial scales) vdot
+    # becomes a DEFAULT-precision batched dot_general, which the TPU
+    # backend demotes to bf16 and tile-pads at full observation width.
     r = residuals(problem, cams, points)
-    return 0.5 * jnp.vdot(r, r)
+    return 0.5 * jnp.sum(r * r)
 
 
 def _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol, ortol,
@@ -166,9 +169,11 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
         # Madsen-Nielsen-style: lambda_0 = tau * max diag(J'J) — scale-aware,
         # unlike the reference's 1e10/||J'r|| which assumes BAL-sized
         # gradient norms (`lm.jl:59`).
+        # strided column slices of the flat views — einsum("paa->pa") would
+        # reshape the (P*9,) buffer to (P,3,3) (tile-padded in TPU HLO)
         maxdiag = jnp.maximum(
-            jnp.max(jnp.einsum("caa->ca", blocks0.Hcc)),
-            jnp.max(jnp.einsum("paa->pa", blocks0.Hpp))).astype(dtype)
+            jnp.max(blocks0.Hcc_f.reshape(-1, 81)[:, ::10]),
+            jnp.max(blocks0.Hpp_f.reshape(-1, 9)[:, ::4])).astype(dtype)
         lam_init = 1e-3 * maxdiag
     else:
         lam_init = jnp.maximum(
