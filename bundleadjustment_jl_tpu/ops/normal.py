@@ -119,18 +119,23 @@ class GNBlocks(NamedTuple):
                    flat(Jc), flat(Jp))
 
 
+# Streaming-chunk rows for lax.scan-based assembly/diag at large nobs.
+# Each scan step is a serialized device dispatch, so steps = n/CHUNK_ROWS
+# bounds throughput; each step materializes ~8 KB/obs of linearization
+# temps, so CHUNK_ROWS bounds memory (Venice-scale full width OOMs HBM,
+# measured at 1.25M obs). 2^16 = ~70 steps at Venice / ~21 at
+# Dubrovnik-356 with ~0.5 GB of temps per step. Never go near 512:
+# thousands of scan steps crash the experimental TPU runtime (measured).
+# Overridable via BA_CHUNK for A/B runs (read at import).
+import os as _os
+CHUNK_ROWS = int(_os.environ.get("BA_CHUNK", 1 << 16))
+
+
 def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
-    """Pick an observation-chunk size for streaming assembly: None for
-    small problems (whole-width is fastest), else a fixed 16384. Bounds
-    XLA temp memory: the unfused linearization chain materializes
-    ~8 KB/obs of intermediates, which at Venice scale (4.5M obs) would
-    exceed HBM (measured: OOM at 1.25M). The chunk no longer needs to
-    divide ``n`` (callers handle the remainder as one tail block) — the
-    old largest-power-of-two-divisor rule could degenerate to chunk=512
-    with thousands of scan steps, which crashes the experimental TPU
-    runtime (measured at Dubrovnik-356, pad 512: chunk 512 x 2657 steps
-    kills the worker; chunk 1024 x 1329 is fine)."""
-    return None if n <= threshold else 1 << 14
+    """Observation-chunk size for streaming assembly: None for small
+    problems (whole-width is fastest), else :data:`CHUNK_ROWS` (the
+    remainder is handled by callers as one tail block)."""
+    return None if n <= threshold else CHUNK_ROWS
 
 
 def assemble_blocks(problem: BAProblem, cams=None, points=None,

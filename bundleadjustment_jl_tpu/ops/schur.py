@@ -206,6 +206,12 @@ def schur_diag_blocks(sys: SchurSystem,
     rem = n - nfull
 
     def wcw_sum(W_f, ci, pi, m):
+        # The barrier stops XLA from hoisting the per-chunk (m, 9, 3)
+        # reshape out of the scan: hoisted, it becomes a full-width
+        # (n, 9, 3) buffer that rematerialization "compresses" to a
+        # tile-padded bf16 copy — 18.3 GB at Venice-1350 (measured;
+        # 'reshape.N.remat2' in the compile error).
+        W_f = jax.lax.optimization_barrier(W_f)
         W = W_f.reshape(m, 9, 3)
         C = Hpp_inv9[pi].reshape(m, 3, 3)
         WCW = jnp.einsum("kab,kbc,kdc->kad", W, C, W)

@@ -52,7 +52,12 @@ def main(max_nobs=40_000_000, only=None):
     offers no in-process recovery after `UNAVAILABLE: worker crashed`)."""
     out_path = "benchmark_results/capacity.jsonl"
     os.makedirs("benchmark_results", exist_ok=True)
-    print(f"backend={jax.default_backend()}", flush=True)
+    use_pallas = os.environ.get("BA_PALLAS", "1") != "0"
+    if use_pallas:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        pallas_schur.set_mode(True)
+    print(f"backend={jax.default_backend()} pallas={use_pallas}",
+          flush=True)
     for i, (family, ncams, npnts, opp, max_iters, facto) in enumerate(RUNS):
         if only is not None and i != only:
             continue
@@ -88,6 +93,7 @@ def main(max_nobs=40_000_000, only=None):
                 "expected_obj": round(
                     0.5 * (2 * problem.nobs - problem.nvar), 0),
                 "facto_dtype": facto, "chip": "single",
+                "pallas": use_pallas,
                 "ref_note": REF_NOTE.get(ncams, ""),
             }
         except Exception as e:

@@ -8,6 +8,7 @@ device arrays become HLO constants -- the methodology bug that produced
 half-gigabyte executables and 45-minute compiles in early round-2 runs).
 
 Usage: python scripts/tpu_profile.py [ncams npnts obs_per_pnt N]
+Env: BA_PALLAS=1 enables the fused Pallas kernels (ops/pallas_schur.py).
 """
 
 import sys
@@ -52,6 +53,11 @@ def timed_chain(name, make_fn, args, n_hi=16, n_lo=1):
 
 
 def main(ncams=318, npnts=41628, obs_per_pnt=4, N=16):
+    import os
+    if os.environ.get("BA_PALLAS") == "1":
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        pallas_schur.set_mode(True)
+        print("PALLAS_MODE on", flush=True)
     print(f"backend={jax.default_backend()} ncams={ncams} npnts={npnts}",
           flush=True)
     problem, _ = synthetic_bal(ncams=ncams, npnts=npnts,
