@@ -77,6 +77,12 @@ class GNBlocks(NamedTuple):
     r_f: jnp.ndarray | None = None   # flat (nobs_pad*2,) weighted residuals
     Jc_f: jnp.ndarray | None = None  # flat (nobs_pad*18,)
     Jp_f: jnp.ndarray | None = None  # flat (nobs_pad*6,)
+    # k-minor W operands (kminor=True assembly; then W_f is None): the
+    # (32, nobs_pad) point-sorted / camera-sorted layouts the fused Pallas
+    # kernels stream. Lambda-independent — carried across lambda changes
+    # so rejected LM iterations never rebuild/re-permute W.
+    W_t: jnp.ndarray | None = None
+    W_cam_t: jnp.ndarray | None = None
 
     @property
     def g_c(self):
@@ -140,7 +146,8 @@ def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
 
 def assemble_blocks(problem: BAProblem, cams=None, points=None,
                     chunk: int | str | None = "auto",
-                    with_jr: bool = True) -> GNBlocks:
+                    with_jr: bool = True,
+                    kminor: bool = False) -> GNBlocks:
     """Linearize at (cams, points) and assemble all Gauss-Newton blocks.
 
     One fused pass: residuals, Jacobian blocks, gradients and Hessian blocks.
@@ -155,12 +162,21 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     ``r``/``Jc``/``Jp`` arrays — the LM iteration only needs the reduced
     blocks, the folded-in ``obj``, and `ops.schur.quad_form` for the step
     quadratic. Saves ~104 B/obs of HBM writes + the same in later reads.
+
+    ``kminor=True`` (fused-Pallas solver path; requires the sorted layout
+    and ``with_jr=False``): produce the Hessian/gradient blocks with the
+    fused streaming reduce kernels (`ops/pallas_schur.py`) instead of XLA
+    scatter-adds, and return W in the k-minor point-/camera-sorted layouts
+    the fused solve streams (``W_f`` is None on this path).
     """
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
     n = problem.nobs_pad
     if chunk == "auto":
         chunk = auto_chunk(n)
+    if kminor:
+        assert not with_jr, "kminor assembly is the with_jr=False hot path"
+        return _assemble_kminor(problem, cams, points, chunk)
     from bundleadjustment_jl_tpu.ops.blockmul import (
         jcT_dot, jjT_outer, jpT_dot)
     if chunk is None or n <= chunk:
@@ -208,10 +224,12 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     # tile-pads minor dims (2,9)->(8,128) etc. — measured 4+ GB of padding
     # copies at 1.4M obs. All per-step arrays therefore travel FLAT
     # (chunk*d,) and are reshaped outside the scan (both sides packed
-    # row-major -> free).
+    # row-major -> free). The pt2d slice must go through the FLAT view
+    # too: `pt2d[:nfull]` materializes an (nfull, 2) T(8,128) temp — 64x
+    # padding, 14.8 GB at Final-13682 (the measured _lm_init OOM there).
     xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
           problem.pnt_idx[:nfull].reshape(nchunks, chunk),
-          problem.pt2d[:nfull].reshape(nchunks, chunk * 2),
+          problem.pt2d.reshape(-1)[:nfull * 2].reshape(nchunks, chunk * 2),
           problem.w[:nfull].reshape(nchunks, chunk))
     carry0 = (jnp.zeros((nc * 9,), dt), jnp.zeros((np_ * 3,), dt),
               jnp.zeros((nc * 81,), dt), jnp.zeros((np_ * 9,), dt),
@@ -235,7 +253,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     if rem:
         dobj, dg_c, dg_p, dHcc, dHpp, W_t, (r_t, Jc_t, Jp_t) = block(
             problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
-            problem.pt2d[nfull:].reshape(-1), problem.w[nfull:], rem)
+            problem.pt2d.reshape(-1)[nfull * 2:], problem.w[nfull:], rem)
         obj = obj + dobj
         g_c, g_p = g_c + dg_c, g_p + dg_p
         Hcc, Hpp = Hcc + dHcc, Hpp + dHpp
@@ -247,6 +265,79 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     return GNBlocks(
         g_c_f=g_c, g_p_f=g_p, Hcc_f=Hcc, Hpp_f=Hpp,
         W_f=W, obj=obj, r_f=r, Jc_f=Jc, Jp_f=Jp)
+
+
+def _assemble_kminor(problem: BAProblem, cams, points,
+                     chunk: int | None) -> GNBlocks:
+    """Fused-kernel assembly: linearize into a stacked k-minor array and
+    reduce with the Pallas segment-product kernels (no scatter anywhere).
+
+    Layout: ``JR_t`` (32, nobs_pad) — rows 0-17 Jc (j = 9i+a), 18-23 Jp
+    (3i+b), 24-25 r, 26-31 zero (`pallas_schur._JC0/_JP0/_R0`) — in the
+    native point-sorted row order; ``JR_cam_t`` the camera-sorted lane
+    permutation.  One streaming kernel per direction produces
+    [Hcc | g_c] (90/camera) and [Hpp | g_p] (12/point); the k-minor W
+    operands of the fused solve fall out as row-gathered elementwise FMAs
+    of the SAME arrays in the SAME order — the per-lambda
+    transpose + camera permute of the previous design disappears.
+    """
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    from bundleadjustment_jl_tpu.ops.jacobian import (
+        residuals_and_jacobian, rj_raw)
+    n = problem.nobs_pad
+
+    def stack26(r, Jc, Jp, m):
+        return jnp.concatenate([Jc.reshape(m, 18).T, Jp.reshape(m, 6).T,
+                                r.reshape(m, 2).T], axis=0)   # (26, m)
+
+    if chunk is None or n <= chunk:
+        r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
+        JR26 = stack26(r, Jc, Jp, n)
+    else:
+        # Stream the linearization (its temps are ~8 KB/obs — whole-width
+        # OOMs beyond ~1.25M obs); per-step output travels FLAT (26*chunk,)
+        # (scan ys tile-pad their per-step minor dims otherwise).
+        nchunks = n // chunk
+        nfull = nchunks * chunk
+        rem = n - nfull
+
+        def block(ci, pi, xy_f, w, m):
+            r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(m, 2), w)
+            return stack26(r, Jc, Jp, m).reshape(-1)
+
+        xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
+              problem.pnt_idx[:nfull].reshape(nchunks, chunk),
+              problem.pt2d.reshape(-1)[:nfull * 2].reshape(nchunks, chunk * 2),
+              problem.w[:nfull].reshape(nchunks, chunk))
+        _, ys = jax.lax.scan(
+            lambda c, x: (c, block(*x, chunk)), jnp.zeros((), cams.dtype),
+            xs)
+        JR26 = jnp.moveaxis(ys.reshape(nchunks, 26, chunk), 0, 1).reshape(
+            26, nfull)
+        if rem:
+            tail = block(problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
+                         problem.pt2d.reshape(-1)[nfull * 2:],
+                         problem.w[nfull:], rem).reshape(26, rem)
+            JR26 = jnp.concatenate([JR26, tail], axis=1)
+
+    JR_t = pallas_schur.pad_rows(JR26, 32)
+    obj = 0.5 * jnp.sum(JR_t[24:26] ** 2)
+    cam_perm = problem.cam_perm
+    JR_cam_t = JR_t[:, cam_perm]
+    out_c = pallas_schur.jtj_cam_reduce(
+        JR_cam_t, problem.cam_idx[cam_perm], problem.cam_starts,
+        problem.ncams)
+    out_p = pallas_schur.jtj_pnt_reduce(
+        JR_t, problem.pnt_idx, problem.pnt_starts, problem.npnts)
+    dt = cams.dtype
+    return GNBlocks(
+        g_c_f=out_c[:, 81:90].astype(dt).reshape(-1),
+        g_p_f=out_p[:, 9:12].astype(dt).reshape(-1),
+        Hcc_f=out_c[:, :81].astype(dt).reshape(-1),
+        Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
+        W_f=None, obj=obj,
+        W_t=pallas_schur.w_from_jr(JR_t, dtype=dt),
+        W_cam_t=pallas_schur.w_from_jr(JR_cam_t, dtype=dt))
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

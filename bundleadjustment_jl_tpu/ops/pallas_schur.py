@@ -94,6 +94,13 @@ INTERPRET = False
 CHUNK_ROWS = 512
 SEG_TILE = 512
 
+# Smaller segment tile for the WIDE camera-direction product kernels
+# (d_out = 81/90): the one-hot local reduction costs P * d_out MXU
+# mul-adds per streamed row, so a wide output wants a narrow tile.
+# Cameras have many rows each (nobs/ncams >> CHUNK_ROWS at BAL scale),
+# so the extra tiles add negligible boundary re-reads.
+SEG_TILE_WIDE = 128
+
 # Sublane-padded row count of the k-minor W (27 → 32: f32 tiling is 8).
 K_PAD = 32
 
@@ -197,7 +204,7 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
         local = idx_s[:] - seg_base                            # (1, C)
         oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                   == local).astype(jnp.float32)                # (P, C)
-        if out_k8:
+        if out_k8 and not fold_diag:
             acc[:] += _dot(rows_t, oh_seg, ((1,), (1,)))       # (d_out, P)
         else:
             acc[:] += _dot(oh_seg, rows_t, ((1,), (1,)))       # (P, d_out)
@@ -217,13 +224,18 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
                    ((1,), (0,)))                               # (P, 3)
     elif has_add:
         # post-reduce additive term (no diagonal fold) — serves
-        # back_substitute's  -(Hpp_inv g_p + segsum(Y' dc))  form.
+        # back_substitute's  -(Hpp_inv g_p + segsum(W' dc))  form.
         res = res + add_ref[:].astype(jnp.float32)
     res = sign * res
     if out_k8:
-        # (d_out, P) -> zero-padded (8, P) via a 0/1 row placer.
-        res = _dot(_iota01((8, res.shape[0]), lambda r: r, lambda c: c),
-                   res, ((1,), (0,)))
+        if fold_diag:
+            # (P, 3) -> zero-padded (8, P): contract the tile axis.
+            res = _dot(_iota01((8, res.shape[1]), lambda r: r,
+                               lambda c: c), res, ((1,), (1,)))
+        else:
+            # (d_out, P) -> zero-padded (8, P) via a 0/1 row placer.
+            res = _dot(_iota01((8, res.shape[0]), lambda r: r,
+                               lambda c: c), res, ((1,), (0,)))
     out_ref[:] = res.astype(out_ref.dtype)
 
 
@@ -293,7 +305,7 @@ def _seg_block_reduce(W_t, idx_row, bounds, nseg, *, d_x, d_out,
     if out_k8:
         out_spec = pl.BlockSpec((8, P), lambda t, b: (0, t))
         out_shape = jax.ShapeDtypeStruct((8, nseg), out_dtype)
-        acc_shape = (d_out, P)
+        acc_shape = (P, d_out) if fold_diag else (d_out, P)
     else:
         out_spec = pl.BlockSpec((P, d_out), lambda t, b: (t, 0))
         out_shape = jax.ShapeDtypeStruct((nseg, d_out), out_dtype)
@@ -340,23 +352,233 @@ def pad_rows(x_t: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(x_t, ((0, rows - x_t.shape[0]), (0, 0)))
 
 
-def y_k_minor(W_t, hpp_inv_f, pnt_idx, dtype=None) -> jnp.ndarray:
-    """k-minor (K_PAD, n_pad) of ``Y_k = W_k Hpp_inv[pnt_k]`` computed
-    entirely in k-minor space: three row-permuted elementwise
-    multiply-adds over (27, n) arrays.  An einsum over (n, 9, 3)-shaped
-    operands would tile-pad 19-76x on TPU (measured 10.4 GB at
-    Dubrovnik-356 scale) — small minor dims must never touch the two
-    minor axes of a large array."""
-    n = W_t.shape[1]
-    C_t = hpp_inv_f.reshape(-1, 9).T[:, pnt_idx]          # (9, n) k-minor
-    r = jnp.arange(27)
-    a3, c = (r // 3) * 3, r % 3
-    Wf = W_t[:27].astype(jnp.float32)
-    Cf = C_t.astype(jnp.float32)
-    # Y[3a+c] = sum_b W[3a+b] * Cinv[3b+c]
-    out = jnp.zeros((27, n), jnp.float32)
+# ---------------------------------------------------------------------------
+# Generic segment-sorted PRODUCT-reduce kernel: stream one (or two) k-minor
+# arrays sorted by segment, form a static per-row product (d_out, C) built
+# from 0/1 iota picks, and reduce rows to segments with the same local
+# one-hot MXU reduction as `_seg_reduce_kernel`.  Powers the fused Schur
+# diagonal (W Hpp_inv W', d_out=81) and the fused Gauss-Newton assembly
+# reductions (Jc'Jc + Jc'r, d_out=90; Jp'Jp + Jp'r, d_out=12) — the ops
+# whose XLA formulation ends in a TPU scatter-add (~100x below bandwidth,
+# measured the dominant per-iteration cost in scripts/tpu_profile.py).
+# ---------------------------------------------------------------------------
+
+def _prod_reduce_kernel(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
+                        x1_s, x2_s, idx_s, acc, sems, *,
+                        C, P, r1, n1, prod):
+    """One segment tile of ``out[s] += prod(x1, x2) rows of segment s``.
+
+    ``prod(x1_f32 (n1, C), x2_f32 | None) -> (d_out, C)`` is a static
+    per-row product function built from iota-comparison 0/1 picks.
+    ``(r1, n1)``: sublane window of x1 streamed per chunk (8-multiples).
+    """
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    seg_base = t * P
+    lo0 = (start // C) * C
+    nchunks = pl.cdiv(end - lo0, jnp.int32(C))
+    acc[:] = jnp.zeros_like(acc)
+
+    def body(j, _):
+        base = lo0 + j * C
+        cps = [pltpu.make_async_copy(
+                   x1_ref.at[pl.ds(r1, n1), pl.ds(base, C)], x1_s,
+                   sems.at[0]),
+               pltpu.make_async_copy(idx_ref.at[:, pl.ds(base, C)], idx_s,
+                                     sems.at[1])]
+        if x2_ref is not None:
+            cps.append(pltpu.make_async_copy(
+                x2_ref.at[:, pl.ds(base, C)], x2_s, sems.at[2]))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        x1 = x1_s[:].astype(jnp.float32)
+        x2 = x2_s[:].astype(jnp.float32) if x2_ref is not None else None
+        rows_t = prod(x1, x2)                                  # (d_out, C)
+        local = idx_s[:] - seg_base
+        oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                  == local).astype(jnp.float32)                # (P, C)
+        acc[:] += _dot(oh_seg, rows_t, ((1,), (1,)))           # (P, d_out)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
+                    x1_rows=None, x2_t=None, P=None,
+                    out_dtype=jnp.float32, interpret=None):
+    """Dispatch :func:`_prod_reduce_kernel` -> (nseg, d_out)."""
+    if interpret is None:
+        interpret = INTERPRET
+    n_pad = x1_t.shape[1]
+    C = _chunk_rows(n_pad)
+    P = P or SEG_TILE
+    r1, n1 = x1_rows or (0, x1_t.shape[0])
+    ntiles = bounds.shape[0] - 1
+    has_x2 = x2_t is not None
+
+    kern = functools.partial(_prod_reduce_kernel, C=C, P=P, r1=r1, n1=n1,
+                             prod=prod)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec, any_spec] + ([any_spec] if has_x2 else [])
+    args = [idx_row.reshape(1, n_pad).astype(jnp.int32), x1_t] + (
+        [x2_t] if has_x2 else [])
+
+    def kernel(bounds_ref, *refs):
+        it = iter(refs)
+        idx_ref, x1_ref = next(it), next(it)
+        x2_ref = next(it) if has_x2 else None
+        out_ref = next(it)
+        x1_s = next(it)
+        x2_s = next(it) if has_x2 else None
+        idx_s, acc, sems = it
+        kern(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
+             x1_s, x2_s, idx_s, acc, sems)
+
+    scratch = [pltpu.VMEM((n1, C), x1_t.dtype)]
+    if has_x2:
+        scratch.append(pltpu.VMEM((x2_t.shape[0], C), x2_t.dtype))
+    scratch += [pltpu.VMEM((1, C), jnp.int32),
+                pltpu.VMEM((P, d_out), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,))]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((P, d_out), lambda t, b: (t, 0)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nseg, d_out), out_dtype),
+        interpret=interpret,
+    )(bounds, *args)
+
+
+def _sym6(b: int, c):
+    """Index into the packed symmetric-3x3 storage [m00,m01,m02,m11,m12,m22]
+    for entry (b, c); ``b`` a Python int, ``c`` an int array."""
+    lo = jnp.minimum(b, c)
+    hi = jnp.maximum(b, c)
+    return lo * 3 - (lo * (lo - 1)) // 2 + (hi - lo)
+
+
+def _prod_wcw(w, c6):
+    """Per-row ``(W C W')`` flattened to 81 rows (r = 9a + d), from k-minor
+    ``w`` (K_PAD, C; row 3a+b) and packed-symmetric ``c6`` (8, C)."""
+    Y = None                                   # Y[3a+c] = sum_b W[3a+b] C[b,c]
     for b in range(3):
-        out = out + Wf[a3 + b] * Cf[3 * b + c]
+        pw = _iota01((27, w.shape[0]), lambda r, b=b: 3 * (r // 3) + b,
+                     lambda c: c)
+        pc = _iota01((27, c6.shape[0]), lambda r, b=b: _sym6(b, r % 3),
+                     lambda c: c)
+        term = _dot(pw, w, ((1,), (0,))) * _dot(pc, c6, ((1,), (0,)))
+        Y = term if Y is None else Y + term
+    out = None                                 # out[9a+d] = sum_c Y[3a+c] W[3d+c]
+    for c in range(3):
+        py = _iota01((81, 27), lambda r, c=c: 3 * (r // 9) + c,
+                     lambda cc: cc)
+        pw2 = _iota01((81, w.shape[0]), lambda r, c=c: 3 * (r % 9) + c,
+                      lambda cc: cc)
+        term = _dot(py, Y, ((1,), (0,))) * _dot(pw2, w, ((1,), (0,)))
+        out = term if out is None else out + term
+    return out
+
+
+# k-minor row layout of the stacked linearization array JR_t (32, n):
+# rows 0-17 Jc (j = 9 i + a), rows 18-23 Jp (18 + 3 i + b),
+# rows 24-25 r (24 + i), rows 26-31 zero padding.
+_JC0, _JP0, _R0 = 0, 18, 24
+
+
+def _prod_cam90(x, _):
+    """Per-row [Jc'Jc (81, r = 9a+d); Jc'r (9)] from stacked JR rows."""
+    out = None
+    for i in range(2):
+        pa = _iota01((90, x.shape[0]),
+                     lambda r, i=i: 9 * i + jnp.where(r < 81, r // 9, r - 81),
+                     lambda c: c)
+        pb = _iota01((90, x.shape[0]),
+                     lambda r, i=i: jnp.where(r < 81, 9 * i + r % 9,
+                                              _R0 + i),
+                     lambda c: c)
+        term = _dot(pa, x, ((1,), (0,))) * _dot(pb, x, ((1,), (0,)))
+        out = term if out is None else out + term
+    return out
+
+
+def _prod_pnt12(x, _):
+    """Per-row [Jp'Jp (9, r = 3b+e); Jp'r (3)] from the (16, C) sublane
+    window [16:32) of JR_t — Jp at rows 2-7, r at rows 8-9."""
+    jp0, r0 = _JP0 - 16, _R0 - 16
+    out = None
+    for i in range(2):
+        pa = _iota01((12, x.shape[0]),
+                     lambda r, i=i: jp0 + 3 * i + jnp.where(r < 9, r // 3,
+                                                            r - 9),
+                     lambda c: c)
+        pb = _iota01((12, x.shape[0]),
+                     lambda r, i=i: jnp.where(r < 9, jp0 + 3 * i + r % 3,
+                                              r0 + i),
+                     lambda c: c)
+        term = _dot(pa, x, ((1,), (0,))) * _dot(pb, x, ((1,), (0,)))
+        out = term if out is None else out + term
+    return out
+
+
+def hpp_inv_sym6_t(hpp_inv_f: jnp.ndarray, pnt_idx_rows) -> jnp.ndarray:
+    """Packed-symmetric ``Hpp_inv`` per row, k-minor (8, n): the 6 unique
+    entries [m00,m01,m02,m11,m12,m22] gathered by ``pnt_idx_rows``."""
+    h6 = hpp_inv_f.reshape(-1, 9)[:, jnp.array([0, 1, 2, 4, 5, 8])]
+    return pad_rows(h6.T[:, pnt_idx_rows], 8)
+
+
+def wcw_cam_reduce(W_cam_t, c6_cam_t, cam_ids_sorted, cam_starts, ncams, *,
+                   interpret=None):
+    """Fused exact Schur-diagonal correction: per-camera sums of
+    ``W_k Hpp_inv[pnt_k] W_k'`` -> (ncams, 81), one streaming pass over
+    camera-sorted ``W_cam_t`` + packed Hpp_inv.  Replaces the chunked
+    einsum + scatter-add (`ops/schur.py:schur_diag_blocks`), the measured
+    co-dominant per-iteration cost."""
+    bounds = tile_bounds(cam_starts, ncams, SEG_TILE_WIDE)
+    return seg_prod_reduce(
+        W_cam_t, cam_ids_sorted, bounds, ncams, d_out=81, prod=_prod_wcw,
+        x2_t=c6_cam_t, P=SEG_TILE_WIDE, interpret=interpret)
+
+
+def jtj_cam_reduce(JR_cam_t, cam_ids_sorted, cam_starts, ncams, *,
+                   interpret=None):
+    """Fused camera-side Gauss-Newton assembly: (ncams, 90) =
+    [Hcc | g_c] per-camera sums from the stacked camera-sorted
+    linearization rows."""
+    bounds = tile_bounds(cam_starts, ncams, SEG_TILE_WIDE)
+    return seg_prod_reduce(
+        JR_cam_t, cam_ids_sorted, bounds, ncams, d_out=90,
+        prod=_prod_cam90, P=SEG_TILE_WIDE, interpret=interpret)
+
+
+def jtj_pnt_reduce(JR_t, pnt_idx, pnt_starts, npnts, *, interpret=None):
+    """Fused point-side Gauss-Newton assembly: (npnts, 12) = [Hpp | g_p]
+    per-point sums, streaming only the [16:32) sublane window of JR_t."""
+    bounds = tile_bounds(pnt_starts, npnts)
+    return seg_prod_reduce(
+        JR_t, pnt_idx, bounds, npnts, d_out=12, prod=_prod_pnt12,
+        x1_rows=(16, 16), interpret=interpret)
+
+
+def w_from_jr(JR_t: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """k-minor (K_PAD, n) ``W_k = Jc_k' Jp_k`` from a stacked JR array
+    (either point- or camera-sorted): row-gathered elementwise FMAs —
+    W[3a+b] = sum_i Jc[9i+a] * Jp[3i+b]."""
+    r = jnp.arange(27)
+    a, b = r // 3, r % 3
+    Jc = JR_t[_JC0:_JC0 + 18].astype(jnp.float32)
+    Jp = JR_t[_JP0:_JP0 + 6].astype(jnp.float32)
+    out = Jc[a] * Jp[b] + Jc[9 + a] * Jp[3 + b]
     if dtype is not None:
         out = out.astype(dtype)
     return jnp.pad(out, ((0, K_PAD - 27), (0, 0)))
@@ -366,14 +588,13 @@ def wtv_point_reduce(W_t, v, pnt_idx, cam_idx, pnt_starts, npnts, *,
                      hpp_inv_f=None, add_gp=None, sign=1.0,
                      out_k8=False, interpret=None):
     """Fused ``segment_sum_pnt(W_k' v[cam_k])``.  ``W_t`` is k-minor
-    (K_PAD, n_pad); rows must be point-sorted.  Either fold
-    ``sign * Hpp_inv @ (. + add_gp)`` in-kernel (output (npnts, 3)), or
-    return the raw sums k-minor as (8, npnts) (``out_k8``, mutually
-    exclusive with the fold) for a gather-only handoff to
-    :func:`wt_cam_reduce`."""
+    (K_PAD, n_pad); rows must be point-sorted.  Optionally folds
+    ``sign * Hpp_inv @ (. + add_gp)`` in-kernel; output is (npnts, 3),
+    or k-minor (8, npnts) with ``out_k8`` for a gather-only handoff to
+    :func:`wt_cam_reduce` (composable with the fold — the matvec streams
+    raw ``W`` and solves the point diagonal in-kernel)."""
     if interpret is None:
         interpret = INTERPRET
-    assert not (out_k8 and (hpp_inv_f is not None or add_gp is not None))
     bounds = tile_bounds(pnt_starts, npnts)
     if v.shape[0] > GATHER_TABLE_MAX_CAMS:
         xt = pad_rows(v.T, 16)[:, cam_idx]
@@ -401,13 +622,27 @@ def wt_cam_reduce(W_cam_t, xt8_cam, cam_ids_sorted, cam_starts, ncams, *,
         xt_obs=xt8_cam, interpret=interpret)
 
 
+def layout_ok(s) -> bool:
+    """Sorted-layout prerequisites shared by every kernel here:
+    point-sorted rows, camera permutation metadata present."""
+    return (s.pnt_starts is not None and s.pnt_perm is None
+            and s.cam_perm is not None and s.cam_starts is not None)
+
+
 def available(s) -> bool:
-    """Layout prerequisites on a BAProblem/SchurSystem: point-sorted rows,
+    """Layout prerequisites on a GNBlocks/SchurSystem: point-sorted rows,
     camera permutation metadata, 128-divisible padded row count.  f64 is
     excluded — the kernels accumulate in f32 (the TPU native width); a
     float64 solve keeps the XLA path rather than silently dropping
     precision."""
-    return (s.pnt_starts is not None and s.pnt_perm is None
-            and s.cam_perm is not None and s.cam_starts is not None
-            and s.W_f.dtype != jnp.float64
-            and (s.W_f.size // 27) % 128 == 0)
+    W = s.W_f if s.W_f is not None else getattr(s, "W_t", None)
+    if W is None:
+        return False
+    n = W.size // 27 if s.W_f is not None else W.shape[1]
+    return (layout_ok(s) and W.dtype != jnp.float64 and n % 128 == 0)
+
+
+def problem_ok(problem, dtype) -> bool:
+    """Can the k-minor assembly + fused solve path run on this problem?"""
+    return (layout_ok(problem) and jnp.dtype(dtype) != jnp.float64
+            and problem.nobs_pad % 128 == 0)

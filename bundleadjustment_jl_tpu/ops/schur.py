@@ -56,19 +56,16 @@ class SchurSystem(NamedTuple):
     cam_perm: jnp.ndarray | None = None
     cam_starts: jnp.ndarray | None = None
     pnt_perm: jnp.ndarray | None = None  # None = rows already point-sorted
-    # Fused-kernel operands (built once per reduce_system when the Pallas
-    # path is on; see ops/pallas_schur.py's layout contract): ``Y_t`` is
-    # the k-minor (32, nobs_pad) view of ``Y = W Hpp_inv`` in point-sorted
-    # order — since Hpp_inv is constant within a point segment, streaming
-    # Y in the POINT direction yields the diagonally-solved reduce
-    # directly (segsum_pnt(Y' v) = Hpp_inv segsum_pnt(W' v)); ``W_cam_t``
-    # the k-minor W in camera-sorted order for the return pass.  Two
-    # streamed arrays total: ``S v = Hcc_l v - segsum_cam(W_k t[pnt_k])``.
-    # ``gp_hat_f`` = flat (npnts*3,) ``Hpp_inv g_p`` (back-substitution
-    # additive term).
-    Y_t: jnp.ndarray | None = None
+    # Fused-kernel operands (see ops/pallas_schur.py's layout contract):
+    # ``W_t`` = k-minor (32, nobs_pad) W blocks in point-sorted order,
+    # ``W_cam_t`` the same permuted camera-sorted.  Both depend only on
+    # the linearization point (NOT on lambda), so the k-minor assembly
+    # path carries them across lambda changes in GNBlocks and this struct
+    # just references them; the point-diagonal solve happens IN-KERNEL
+    # (Hpp_inv fold) during the point pass.  Two streamed arrays total:
+    # ``S v = Hcc_l v - segsum_cam(W_k (Hpp_inv segsum_pnt(W'v))[pnt_k])``.
+    W_t: jnp.ndarray | None = None
     W_cam_t: jnp.ndarray | None = None
-    gp_hat_f: jnp.ndarray | None = None
 
     @property
     def Hcc_l(self):
@@ -113,7 +110,13 @@ def _seg_cam(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
 
 
 def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
-    """Damp with ``lambda`` and form the reduced camera RHS."""
+    """Damp with ``lambda`` and form the reduced camera RHS.
+
+    On the fused-kernel path the lambda-independent k-minor ``W_t`` /
+    ``W_cam_t`` operands come from the blocks when the k-minor assembly
+    produced them (carried across lambda changes — no per-lambda
+    transpose/permute), and are built here once otherwise (host-driver /
+    XLA-assembly fallback)."""
     Hcc_l = damp(blocks.Hcc, lam)
     sys = SchurSystem(Hcc_l_f=Hcc_l.reshape(-1),
                       Hpp_inv_f=inv3x3_damped_flat(blocks.Hpp_f, lam),
@@ -124,23 +127,19 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       pnt_starts=problem.pnt_starts,
                       cam_perm=problem.cam_perm,
                       cam_starts=problem.cam_starts,
-                      pnt_perm=problem.pnt_perm)
+                      pnt_perm=problem.pnt_perm,
+                      W_t=blocks.W_t, W_cam_t=blocks.W_cam_t)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
     tmp = m33_dot(sys.Hpp_inv_f, blocks.g_p)                 # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        # Y = W Hpp_inv per observation (once per lambda), streamed in
-        # the POINT direction; W streams back in the camera direction.
-        W_t = pallas_schur.to_k_minor(blocks.W_f)
-        Y_t = pallas_schur.y_k_minor(W_t, sys.Hpp_inv_f, sys.pnt_idx,
-                                     dtype=blocks.W_f.dtype)
-        W_cam_t = W_t[:, sys.cam_perm]
-        sys = sys._replace(Y_t=Y_t, W_cam_t=W_cam_t,
-                           gp_hat_f=tmp.reshape(-1))
+        if sys.W_t is None:
+            W_t = pallas_schur.to_k_minor(blocks.W_f)
+            sys = sys._replace(W_t=W_t, W_cam_t=W_t[:, sys.cam_perm])
         # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
         tmp8 = pallas_schur.pad_rows(tmp.T, 8)
         corr = pallas_schur.wt_cam_reduce(
-            W_cam_t, tmp8[:, sys.pnt_idx[sys.cam_perm]],
+            sys.W_cam_t, tmp8[:, sys.pnt_idx[sys.cam_perm]],
             sys.cam_idx[sys.cam_perm], sys.cam_starts,
             sys.Hcc_l.shape[0])
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
@@ -154,14 +153,16 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v,
                    precision=jax.lax.Precision.HIGHEST)
-    if _use_pallas(sys) and sys.Y_t is not None:
+    if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
         # One fused pass per direction, one lane gather between them:
-        # streaming Y point-wise makes t8 = Hpp_inv segsum_pnt(W'v)
-        # emerge k-minor (8, npnts) already diagonally solved.
+        # the point pass streams W and folds the point-diagonal solve
+        # in-kernel, so t8 = Hpp_inv segsum_pnt(W'v) emerges k-minor
+        # (8, npnts) already diagonally solved (in f32, even when W is
+        # stored bf16 — the fold never touches the low-precision array).
         t8 = pallas_schur.wtv_point_reduce(
-            sys.Y_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
-            sys.Hpp_inv.shape[0], out_k8=True)
+            sys.W_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f, out_k8=True)
         u2 = pallas_schur.wt_cam_reduce(
             sys.W_cam_t, t8[:, sys.pnt_idx[sys.cam_perm]],
             sys.cam_idx[sys.cam_perm], sys.cam_starts, sys.Hcc_l.shape[0])
@@ -185,11 +186,23 @@ def schur_diag_blocks(sys: SchurSystem,
     stream it chunked (cf. `ops/normal.py:auto_chunk`).
     """
     from bundleadjustment_jl_tpu.ops.normal import auto_chunk
+    ncams = sys.Hcc_l.shape[0]
+    if _use_pallas(sys) and sys.W_cam_t is not None:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        # ONE streaming pass over camera-sorted W + packed-symmetric
+        # Hpp_inv: the per-observation W C W' product and its per-camera
+        # reduction happen in VMEM/MXU — no (n, 81) materialization, no
+        # scatter (the measured co-dominant per-iteration cost).
+        c6 = pallas_schur.hpp_inv_sym6_t(sys.Hpp_inv_f,
+                                         sys.pnt_idx[sys.cam_perm])
+        wcw = pallas_schur.wcw_cam_reduce(
+            sys.W_cam_t, c6, sys.cam_idx[sys.cam_perm], sys.cam_starts,
+            ncams)
+        return sys.Hcc_l - wcw.reshape(-1, 9, 9).astype(sys.Hcc_l.dtype)
     # NB: size//27, not sys.W.shape[0] — the property reshape of the flat W
     # carry to (n, 9, 3) survives into the TPU while-body HLO even unused,
     # where it is tile-padded 75.9x (18.3 GB at Venice-1350) and OOMs.
     n = sys.W_f.size // 27
-    ncams = sys.Hcc_l.shape[0]
     if chunk == "auto":
         chunk = auto_chunk(n)
     # Gathers run on the flat (P, 9) view — a gather operand must be
@@ -237,12 +250,13 @@ def schur_diag_blocks(sys: SchurSystem,
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
-    if _use_pallas(sys) and sys.Y_t is not None:
+    if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        # dp = -(Hpp_inv g_p + segsum_pnt(Y' dc)) — post-reduce add.
+        # dp = -Hpp_inv (g_p + segsum_pnt(W' dc)) — in-kernel fold + add.
         return pallas_schur.wtv_point_reduce(
-            sys.Y_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
-            sys.Hpp_inv.shape[0], add_gp=sys.gp_hat_f, sign=-1.0)
+            sys.W_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
+            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f,
+            add_gp=sys.g_p_f, sign=-1.0)
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))
     return -m33_dot(sys.Hpp_inv_f, sys.g_p + t)
 
@@ -259,6 +273,17 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
     t_c = jnp.sum(dc * jnp.einsum("cab,cb->ca", blocks.Hcc, dc,
                                   precision=jax.lax.Precision.HIGHEST))
     t_p = jnp.sum(dp * m33_dot(blocks.Hpp_f, dp))
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    if pallas_schur.PALLAS_MODE and blocks.W_t is not None:
+        # cross = sum_c dc[c] . segsum_cam(W_k dp[pnt_k]) — one fused pass
+        # over the carried camera-sorted W (W_f is absent on this path).
+        dp8 = pallas_schur.pad_rows(dp.T, 8)
+        cross_cam = pallas_schur.wt_cam_reduce(
+            blocks.W_cam_t,
+            dp8[:, problem.pnt_idx[problem.cam_perm]],
+            problem.cam_idx[problem.cam_perm], problem.cam_starts,
+            problem.ncams)
+        return t_c + 2.0 * jnp.sum(cross_cam * dc) + t_p
     dp_obs = take_pnt(dp, problem.pnt_idx, problem.pnt_starts,
                       problem.pnt_perm)
     cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)

@@ -105,6 +105,26 @@ class LMJitResult(NamedTuple):
         return int(self.iterations) + self.neval_jac
 
 
+# Above this observation count the k-minor assembly's transients (the
+# stacked (32, n) linearization in point- AND camera-sorted order, ~32 B/obs
+# live at once on top of the carried W operands) outgrow one chip's HBM at
+# Final-13682 scale; the solver falls back to scatter assembly + per-lambda
+# W_t build there (still fused matvec/diag kernels). Override for bigger
+# chips via BA_KMINOR_MAX_OBS.
+import os as _os
+KMINOR_MAX_OBS = int(_os.environ.get("BA_KMINOR_MAX_OBS", 12_000_000))
+
+
+def _kminor(problem, dtype, pallas_mode, use_cgls, use_dense) -> bool:
+    """Use the fused k-minor assembly? Requires the Pallas path (its
+    kernels are what consume the layout) and a solver that never touches
+    ``W_f`` (the dense path materializes S from it; CGLS needs Jc/Jp)."""
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    return (pallas_mode and not use_cgls and not use_dense
+            and problem.nobs_pad <= KMINOR_MAX_OBS
+            and pallas_schur.problem_ok(problem, dtype))
+
+
 def _objective(problem, cams, points):
     # sum-of-squares, not vdot: under vmap (batched trial scales) vdot
     # becomes a DEFAULT-precision batched dot_general, which the TPU
@@ -148,6 +168,9 @@ def _maybe_cast_facto(blocks, facto_dtype):
     if facto_dtype is None:
         return blocks
     fd = jnp.dtype(facto_dtype)
+    if blocks.W_t is not None:
+        return blocks._replace(W_t=blocks.W_t.astype(fd),
+                               W_cam_t=blocks.W_cam_t.astype(fd))
     return blocks._replace(W_f=blocks.W_f.astype(fd))
 
 
@@ -157,10 +180,12 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
              ls_max, lam0_mode, use_forcing, facto_dtype,
              pcg_warm, gather_mode, sorted_mode, pallas_mode):
     """Initial linearization + solver state (one compiled dispatch)."""
-    del pcg_max_iters, use_dense, use_power, linesearch, ls_max
-    del use_forcing, pcg_warm, gather_mode, sorted_mode, pallas_mode
+    del pcg_max_iters, use_power, linesearch, ls_max
+    del use_forcing, pcg_warm, gather_mode, sorted_mode
     dtype = cams.dtype
-    blocks0 = assemble_blocks(problem, cams, points, with_jr=use_cgls)
+    blocks0 = assemble_blocks(
+        problem, cams, points, with_jr=use_cgls,
+        kminor=_kminor(problem, dtype, pallas_mode, use_cgls, use_dense))
     obj0 = blocks0.obj
     gnorm0 = gradient_norm(blocks0)
     blocks0 = _maybe_cast_facto(blocks0, facto_dtype)
@@ -211,15 +236,17 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode,
             pallas_mode):
     """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
-    del lam0_mode, gather_mode, sorted_mode, pallas_mode
+    del lam0_mode, gather_mode, sorted_mode
     dtype = state["cams"].dtype
+    kminor = _kminor(problem, dtype, pallas_mode, use_cgls, use_dense)
 
     def linearize(c, p):
         # Hot path keeps only the reduced blocks (with_jr=False): obj is
         # folded into assembly and ||J d||^2 comes from quad_form, so the
         # (nobs, 26) r/Jc/Jp arrays never hit HBM. CGLS iterates on J
         # directly and is the one solver that still needs them.
-        blocks = assemble_blocks(problem, c, p, with_jr=use_cgls)
+        blocks = assemble_blocks(problem, c, p, with_jr=use_cgls,
+                                 kminor=kminor)
         return (_maybe_cast_facto(blocks, facto_dtype), blocks.obj,
                 gradient_norm(blocks))
 

@@ -92,7 +92,7 @@ def test_schur_matvec_dispatch(sys_v):
         pallas_schur.set_mode(True)
         pallas_schur.INTERPRET = True
         s2 = schur.reduce_system(prob, blocks, 1e-2)
-        assert s2.Y_t is not None and s2.W_cam_t is not None
+        assert s2.W_t is not None and s2.W_cam_t is not None
         assert float(jnp.max(jnp.abs(s2.b - s.b))) <= _tol(s.b)
         got = schur.schur_matvec(s2, v)
         dc = jnp.asarray(
@@ -104,6 +104,112 @@ def test_schur_matvec_dispatch(sys_v):
     assert float(jnp.max(jnp.abs(got - oracle))) <= _tol(oracle)
     dp = schur.back_substitute(s, dc)
     assert float(jnp.max(jnp.abs(got_dp - dp))) <= _tol(dp)
+
+
+def test_point_reduce_fold_k8(sys_v):
+    """Combined in-kernel Hpp_inv fold + k-minor (8, npnts) output — the
+    matvec's point pass when W (not Y) is the streamed operand."""
+    prob, s, v = sys_v
+    t = segment_sum_scatter(
+        wT_dot_a(s.W_f, v[s.cam_idx]), s.pnt_idx, prob.npnts)
+    folded = jnp.einsum("pab,pb->pa", s.Hpp_inv, t)
+    got8 = pallas_schur.wtv_point_reduce(
+        pallas_schur.to_k_minor(s.W_f), v, s.pnt_idx, s.cam_idx,
+        s.pnt_starts, prob.npnts, hpp_inv_f=s.Hpp_inv_f, out_k8=True,
+        interpret=True)
+    assert got8.shape == (8, prob.npnts)
+    assert float(jnp.max(jnp.abs(got8[:3] - folded.T))) <= _tol(folded)
+    assert float(jnp.max(jnp.abs(got8[3:]))) == 0.0
+
+
+def test_wcw_cam_reduce(sys_v):
+    """Fused Schur-diagonal correction vs the einsum + scatter oracle."""
+    prob, s, _ = sys_v
+    Hpp_inv_obs = s.Hpp_inv[s.pnt_idx]
+    WCW = jnp.einsum("kab,kbc,kdc->kad", s.W, Hpp_inv_obs, s.W)
+    oracle = segment_sum_scatter(WCW, s.cam_idx, prob.ncams)
+    W_cam_t = pallas_schur.to_k_minor(s.W_f)[:, s.cam_perm]
+    c6 = pallas_schur.hpp_inv_sym6_t(s.Hpp_inv_f, s.pnt_idx[s.cam_perm])
+    got = pallas_schur.wcw_cam_reduce(
+        W_cam_t, c6, s.cam_idx[s.cam_perm], s.cam_starts, prob.ncams,
+        interpret=True)
+    assert float(jnp.max(jnp.abs(got.reshape(-1, 9, 9) - oracle))) <= _tol(
+        oracle)
+
+
+def test_schur_diag_pallas_dispatch(sys_v):
+    prob, s, _ = sys_v
+    oracle = schur.schur_diag_blocks(s)
+    blocks = assemble_blocks(prob)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        s2 = schur.reduce_system(prob, blocks, 1e-2)
+        got = schur.schur_diag_blocks(s2)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    assert float(jnp.max(jnp.abs(got - oracle))) <= _tol(oracle)
+
+
+def test_kminor_assembly_matches_xla():
+    """Fused-kernel assembly == XLA assembly on every block, and the
+    k-minor W operands match the transposed/permuted W_f."""
+    prob, _ = synthetic_bal(ncams=11, npnts=200, obs_per_pnt=4, seed=5,
+                            dtype=jnp.float32, perturb=1e-2)
+    ref = assemble_blocks(prob, with_jr=False)
+    old = pallas_schur.INTERPRET
+    try:
+        pallas_schur.INTERPRET = True
+        got = assemble_blocks(prob, with_jr=False, kminor=True)
+    finally:
+        pallas_schur.INTERPRET = old
+    for name in ("g_c_f", "g_p_f", "Hcc_f", "Hpp_f"):
+        a, b = getattr(got, name), getattr(ref, name)
+        assert float(jnp.max(jnp.abs(a - b))) <= _tol(b), name
+    assert abs(float(got.obj) - float(ref.obj)) <= _tol(ref.obj)
+    assert got.W_f is None
+    W_t_ref = pallas_schur.to_k_minor(ref.W_f)
+    assert float(jnp.max(jnp.abs(got.W_t - W_t_ref))) <= _tol(W_t_ref)
+    assert float(jnp.max(jnp.abs(
+        got.W_cam_t - W_t_ref[:, prob.cam_perm]))) <= _tol(W_t_ref)
+
+
+def test_kminor_assembly_chunked():
+    """The streamed (lax.scan) k-minor linearization path == whole-width."""
+    prob, _ = synthetic_bal(ncams=7, npnts=300, obs_per_pnt=4, seed=6,
+                            dtype=jnp.float32, perturb=1e-2)
+    old = pallas_schur.INTERPRET
+    try:
+        pallas_schur.INTERPRET = True
+        whole = assemble_blocks(prob, with_jr=False, kminor=True,
+                                chunk=None)
+        # 512 does not divide nobs_pad necessarily -> exercises the tail
+        chunked = assemble_blocks(prob, with_jr=False, kminor=True,
+                                  chunk=512)
+    finally:
+        pallas_schur.INTERPRET = old
+    for name in ("g_c_f", "g_p_f", "Hcc_f", "Hpp_f", "W_t", "W_cam_t"):
+        a, b = getattr(chunked, name), getattr(whole, name)
+        assert float(jnp.max(jnp.abs(a - b))) <= _tol(b), name
+
+
+def test_quad_form_kminor(sys_v):
+    prob, s, v = sys_v
+    blocks = assemble_blocks(prob, with_jr=False)
+    rng = np.random.default_rng(7)
+    dc = jnp.asarray(rng.standard_normal((prob.ncams, 9)), jnp.float32)
+    dp = jnp.asarray(rng.standard_normal((prob.npnts, 3)), jnp.float32)
+    oracle = schur.quad_form(prob, blocks, dc, dp)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        blocks_k = assemble_blocks(prob, with_jr=False, kminor=True)
+        got = schur.quad_form(prob, blocks_k, dc, dp)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    assert abs(float(got) - float(oracle)) <= _tol(oracle)
 
 
 @pytest.mark.parametrize("max_cams", [1024, 4])
