@@ -275,52 +275,23 @@ def _assemble_kminor(problem: BAProblem, cams, points,
     Layout: ``JR_t`` (32, nobs_pad) — rows 0-17 Jc (j = 9i+a), 18-23 Jp
     (3i+b), 24-25 r, 26-31 zero (`pallas_schur._JC0/_JP0/_R0`) — in the
     native point-sorted row order; ``JR_cam_t`` the camera-sorted lane
-    permutation.  One streaming kernel per direction produces
-    [Hcc | g_c] (90/camera) and [Hpp | g_p] (12/point); the k-minor W
-    operands of the fused solve fall out as row-gathered elementwise FMAs
-    of the SAME arrays in the SAME order — the per-lambda
-    transpose + camera permute of the previous design disappears.
+    permutation.  The linearization itself runs as a Pallas kernel
+    (`ops/pallas_linearize.py`: the whole chain scalarized per lane —
+    the XLA scan formulation was measured at 1.8 GB/s, 184 of 237 ms of
+    assembly at Dubrovnik-356, from tile-padded (m, 2, 9) intermediates)
+    and emits W_t in the same pass.  One streaming reduce kernel per
+    direction produces [Hcc | g_c] (90/camera) and [Hpp | g_p]
+    (12/point).  W_t/W_cam_t are lambda-independent and carried.
+
+    ``chunk`` is unused on this path (the kernel streams in blocks); it
+    remains in the signature for call symmetry with the XLA assembly.
     """
-    from bundleadjustment_jl_tpu.ops import pallas_schur
-    from bundleadjustment_jl_tpu.ops.jacobian import (
-        residuals_and_jacobian, rj_raw)
-    n = problem.nobs_pad
-
-    def stack26(r, Jc, Jp, m):
-        return jnp.concatenate([Jc.reshape(m, 18).T, Jp.reshape(m, 6).T,
-                                r.reshape(m, 2).T], axis=0)   # (26, m)
-
-    if chunk is None or n <= chunk:
-        r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
-        JR26 = stack26(r, Jc, Jp, n)
-    else:
-        # Stream the linearization (its temps are ~8 KB/obs — whole-width
-        # OOMs beyond ~1.25M obs); per-step output travels FLAT (26*chunk,)
-        # (scan ys tile-pad their per-step minor dims otherwise).
-        nchunks = n // chunk
-        nfull = nchunks * chunk
-        rem = n - nfull
-
-        def block(ci, pi, xy_f, w, m):
-            r, Jc, Jp = rj_raw(cams, points, ci, pi, xy_f.reshape(m, 2), w)
-            return stack26(r, Jc, Jp, m).reshape(-1)
-
-        xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
-              problem.pnt_idx[:nfull].reshape(nchunks, chunk),
-              problem.pt2d.reshape(-1)[:nfull * 2].reshape(nchunks, chunk * 2),
-              problem.w[:nfull].reshape(nchunks, chunk))
-        _, ys = jax.lax.scan(
-            lambda c, x: (c, block(*x, chunk)), jnp.zeros((), cams.dtype),
-            xs)
-        JR26 = jnp.moveaxis(ys.reshape(nchunks, 26, chunk), 0, 1).reshape(
-            26, nfull)
-        if rem:
-            tail = block(problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
-                         problem.pt2d.reshape(-1)[nfull * 2:],
-                         problem.w[nfull:], rem).reshape(26, rem)
-            JR26 = jnp.concatenate([JR26, tail], axis=1)
-
-    JR_t = pallas_schur.pad_rows(JR26, 32)
+    del chunk
+    from bundleadjustment_jl_tpu.ops import pallas_linearize, pallas_schur
+    cxw = pallas_linearize.pack_operands(
+        cams, points, problem.cam_idx, problem.pnt_idx, problem.pt2d,
+        problem.w)
+    JR_t, W_t = pallas_linearize.linearize_w_kminor(cxw)
     obj = 0.5 * jnp.sum(JR_t[24:26] ** 2)
     cam_perm = problem.cam_perm
     JR_cam_t = JR_t[:, cam_perm]
@@ -336,8 +307,8 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         Hcc_f=out_c[:, :81].astype(dt).reshape(-1),
         Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
         W_f=None, obj=obj,
-        W_t=pallas_schur.w_from_jr(JR_t, dtype=dt),
-        W_cam_t=pallas_schur.w_from_jr(JR_cam_t, dtype=dt))
+        W_t=W_t.astype(dt),
+        W_cam_t=W_t[:, cam_perm].astype(dt))
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

@@ -90,16 +90,19 @@ INTERPRET = False
 # Rows per DMA chunk and segments per grid tile. C is the streaming unit
 # (C columns of the k-minor W per DMA = C*32 floats); P bounds the one-hot
 # (P, C) local reduction and the VMEM accumulator.  C must divide n_pad
-# (the dispatcher halves it down to 128 until it does).
-CHUNK_ROWS = 512
-SEG_TILE = 512
+# (the dispatcher halves it down to 128 until it does).  Env-overridable
+# for A/B sweeps (scripts/tpu_profile.py); the defaults are the sweep
+# winners on the v5e-class chip this round measured.
+import os as _os
+CHUNK_ROWS = int(_os.environ.get("BA_PALLAS_CHUNK", 512))
+SEG_TILE = int(_os.environ.get("BA_PALLAS_SEGTILE", 512))
 
 # Smaller segment tile for the WIDE camera-direction product kernels
 # (d_out = 81/90): the one-hot local reduction costs P * d_out MXU
 # mul-adds per streamed row, so a wide output wants a narrow tile.
 # Cameras have many rows each (nobs/ncams >> CHUNK_ROWS at BAL scale),
 # so the extra tiles add negligible boundary re-reads.
-SEG_TILE_WIDE = 128
+SEG_TILE_WIDE = int(_os.environ.get("BA_PALLAS_SEGTILE_WIDE", 128))
 
 # Sublane-padded row count of the k-minor W (27 → 32: f32 tiling is 8).
 K_PAD = 32
@@ -129,6 +132,24 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+# Double-buffered chunk streaming: every scratch stream buffer has a
+# leading slot axis of 2; chunk j lands in slot j%2 and the copy for
+# chunk j+1 is issued BEFORE waiting on / computing chunk j, so the next
+# DMA overlaps the current chunk's VMEM compute (measured ~1.6x on the
+# matvec kernels vs the serial start/wait/compute loop).
+def _dma_start(copies, j, slot, sems):
+    """copies: [(mk_src(j) -> HBM slice ref, dst (2, ...) VMEM ref)]."""
+    for k, (mk_src, dst) in enumerate(copies):
+        pltpu.make_async_copy(mk_src(j), dst.at[slot],
+                              sems.at[slot, k]).start()
+
+
+def _dma_wait(copies, j, slot, sems):
+    for k, (mk_src, dst) in enumerate(copies):
+        pltpu.make_async_copy(mk_src(j), dst.at[slot],
+                              sems.at[slot, k]).wait()
+
+
 def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
                        table_ref, diag_ref, add_ref, out_ref,
                        wt_s, xc_s, idx_s, acc, sems, *,
@@ -146,8 +167,9 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
       diag_ref    (P, 9)        VMEM 3x3 blocks to fold        [fold_diag]
       add_ref     (P, 3)        VMEM additive pre-fold term      [has_add]
       out_ref     (P, d_out) | (8, P) [out_k8]   VMEM output tile
-    Scratch: wt_s (K_PAD,C), xc_s ((1,C) ids | (dxp,C) values),
-      idx_s (1,C), acc ((P,d_out) | (d_out,P)) f32, sems DMA x3.
+    Scratch (leading axis 2 = double-buffer slots): wt_s (2,K_PAD,C),
+      xc_s (2,1,C) ids | (2,dxp,C) values, idx_s (2,1,C),
+      acc ((P,d_out) | (d_out,P)) f32, sems DMA (2,3).
     """
     t = pl.program_id(0)
     start = bounds_ref[t]
@@ -161,7 +183,7 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
     # In-kernel 0/1 constants (W row c = 3a + b; x indexed by a or b).
     # Padded W rows (>= 27) and padded operand rows are zero, so the
     # expansions need no explicit masks.
-    dxe = 9 if gather_table else xc_s.shape[0]
+    dxe = 9 if gather_table else xc_s.shape[1]   # [1]: axis 0 = DMA slot
     exp_m = (_iota01((K_PAD, dxe), lambda r: r // 3, lambda c: c)
              if d_x == 9
              else _iota01((K_PAD, dxe), lambda r: r % 3, lambda c: c))
@@ -169,39 +191,48 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
              if d_out == 9
              else _iota01((d_out, K_PAD), lambda r: r, lambda c: c % 3))
 
+    src = cam_ref if gather_table else xt_ref
+    copies = [
+        (lambda j: wt_ref.at[:, pl.ds(lo0 + j * C, C)], wt_s),
+        (lambda j: idx_ref.at[:, pl.ds(lo0 + j * C, C)], idx_s),
+        (lambda j: src.at[:, pl.ds(lo0 + j * C, C)], xc_s),
+    ]
+
+    @pl.when(nchunks > 0)
+    def _():
+        _dma_start(copies, 0, 0, sems)
+
     def body(j, _):
-        base = lo0 + j * C                     # C-aligned, base+C <= n_pad
-        src = cam_ref if gather_table else xt_ref
-        cps = [pltpu.make_async_copy(wt_ref.at[:, pl.ds(base, C)], wt_s,
-                                     sems.at[0]),
-               pltpu.make_async_copy(idx_ref.at[:, pl.ds(base, C)], idx_s,
-                                     sems.at[1]),
-               pltpu.make_async_copy(src.at[:, pl.ds(base, C)], xc_s,
-                                     sems.at[2])]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+        slot = jax.lax.rem(j, jnp.int32(2))
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            _dma_start(copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
+
+        _dma_wait(copies, j, slot, sems)
+        wt_c = wt_s[slot]
+        xc_c = xc_s[slot]
+        idx_c = idx_s[slot]
 
         if gather_table:
             # x columns = table[cam_id]': contract a (ncams, C) one-hot
             # with the table over dim 0 — no transposes.
             ncams = table_ref.shape[0]
             oh_t = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
-                    == xc_s[:]).astype(jnp.float32)            # (ncams, C)
+                    == xc_c).astype(jnp.float32)               # (ncams, C)
             x_t = _dot(table_ref[:].astype(jnp.float32), oh_t,
                        ((0,), (0,)))                           # (9, C)
         else:
-            x_t = xc_s[:].astype(jnp.float32)                  # (dxp, C)
+            x_t = xc_c.astype(jnp.float32)                     # (dxp, C)
 
         x_rep = _dot(exp_m, x_t, ((1,), (0,)))                 # (K_PAD, C)
-        prod = wt_s[:].astype(jnp.float32) * x_rep             # (K_PAD, C)
+        prod = wt_c.astype(jnp.float32) * x_rep                # (K_PAD, C)
         rows_t = _dot(red_m, prod, ((1,), (0,)))               # (d_out, C)
 
         # Local one-hot segment reduction: rows whose segment falls
         # outside [seg_base, seg_base+P) (neighbors in the shared aligned
         # window) match no one-hot row and drop out exactly.
-        local = idx_s[:] - seg_base                            # (1, C)
+        local = idx_c - seg_base                               # (1, C)
         oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                   == local).astype(jnp.float32)                # (P, C)
         if out_k8 and not fold_diag:
@@ -316,11 +347,11 @@ def _seg_block_reduce(W_t, idx_row, bounds, nseg, *, d_x, d_out,
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((K_PAD, C), W_t.dtype),
-            pltpu.VMEM(xc_shape, xc_dtype),
-            pltpu.VMEM((1, C), jnp.int32),
+            pltpu.VMEM((2, K_PAD, C), W_t.dtype),
+            pltpu.VMEM((2,) + xc_shape, xc_dtype),
+            pltpu.VMEM((2, 1, C), jnp.int32),
             pltpu.VMEM(acc_shape, jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     return pl.pallas_call(
@@ -380,24 +411,30 @@ def _prod_reduce_kernel(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
     nchunks = pl.cdiv(end - lo0, jnp.int32(C))
     acc[:] = jnp.zeros_like(acc)
 
+    copies = [
+        (lambda j: x1_ref.at[pl.ds(r1, n1), pl.ds(lo0 + j * C, C)], x1_s),
+        (lambda j: idx_ref.at[:, pl.ds(lo0 + j * C, C)], idx_s),
+    ]
+    if x2_ref is not None:
+        copies.append(
+            (lambda j: x2_ref.at[:, pl.ds(lo0 + j * C, C)], x2_s))
+
+    @pl.when(nchunks > 0)
+    def _():
+        _dma_start(copies, 0, 0, sems)
+
     def body(j, _):
-        base = lo0 + j * C
-        cps = [pltpu.make_async_copy(
-                   x1_ref.at[pl.ds(r1, n1), pl.ds(base, C)], x1_s,
-                   sems.at[0]),
-               pltpu.make_async_copy(idx_ref.at[:, pl.ds(base, C)], idx_s,
-                                     sems.at[1])]
-        if x2_ref is not None:
-            cps.append(pltpu.make_async_copy(
-                x2_ref.at[:, pl.ds(base, C)], x2_s, sems.at[2]))
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
-        x1 = x1_s[:].astype(jnp.float32)
-        x2 = x2_s[:].astype(jnp.float32) if x2_ref is not None else None
+        slot = jax.lax.rem(j, jnp.int32(2))
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            _dma_start(copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
+
+        _dma_wait(copies, j, slot, sems)
+        x1 = x1_s[slot].astype(jnp.float32)
+        x2 = x2_s[slot].astype(jnp.float32) if x2_ref is not None else None
         rows_t = prod(x1, x2)                                  # (d_out, C)
-        local = idx_s[:] - seg_base
+        local = idx_s[slot] - seg_base
         oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                   == local).astype(jnp.float32)                # (P, C)
         acc[:] += _dot(oh_seg, rows_t, ((1,), (1,)))           # (P, d_out)
@@ -438,12 +475,12 @@ def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
         kern(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
              x1_s, x2_s, idx_s, acc, sems)
 
-    scratch = [pltpu.VMEM((n1, C), x1_t.dtype)]
+    scratch = [pltpu.VMEM((2, n1, C), x1_t.dtype)]
     if has_x2:
-        scratch.append(pltpu.VMEM((x2_t.shape[0], C), x2_t.dtype))
-    scratch += [pltpu.VMEM((1, C), jnp.int32),
+        scratch.append(pltpu.VMEM((2, x2_t.shape[0], C), x2_t.dtype))
+    scratch += [pltpu.VMEM((2, 1, C), jnp.int32),
                 pltpu.VMEM((P, d_out), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,))]
+                pltpu.SemaphoreType.DMA((2, 3))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),

@@ -1,0 +1,93 @@
+"""Sweep the Pallas kernel tile constants (C, P) on the current backend.
+
+The matvec measures ~22 GB/s effective vs a ~2.4 ms/400 MB streaming
+bound — the gap is per-chunk fixed cost (DMA issue + semaphores + loop
+overhead x 2657 chunks/pass at C=512, Dubrovnik-356 scale).  This probe
+times schur_matvec and the two assembly reduces at one (C, P) setting;
+run it once per env setting:
+
+    BA_PALLAS=1 BA_PALLAS_CHUNK=2048 python scripts/tpu_mv_sweep.py
+
+Methodology: scripts/_bench_util.py (arrays as jit args, loop-amortized,
+fetch-bracketed).
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from _bench_util import timed  # noqa: E402
+
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal  # noqa: E402
+from bundleadjustment_jl_tpu.ops import pallas_schur  # noqa: E402
+from bundleadjustment_jl_tpu.ops.normal import assemble_blocks  # noqa: E402
+from bundleadjustment_jl_tpu.ops.schur import (  # noqa: E402
+    reduce_system, schur_matvec)
+
+
+def main(ncams=356, npnts=226730, obs_per_pnt=6):
+    pallas_schur.set_mode(True)
+    print(f"backend={jax.default_backend()} C={pallas_schur.CHUNK_ROWS} "
+          f"P={pallas_schur.SEG_TILE} Pw={pallas_schur.SEG_TILE_WIDE}",
+          flush=True)
+    problem, _ = synthetic_bal(ncams=ncams, npnts=npnts,
+                               obs_per_pnt=obs_per_pnt, noise_px=1.0,
+                               perturb=2e-2, seed=1, dtype=jnp.float32,
+                               pad_obs_to=512)
+    n = problem.nobs_pad
+    blocks = jax.jit(lambda p: assemble_blocks(
+        p, with_jr=False, kminor=True))(problem)
+    sys_ = jax.jit(reduce_system)(problem, blocks, jnp.float32(1e2))
+    f32 = 4
+
+    def mv(c, s):
+        u = schur_matvec(s, jnp.full_like(s.b, 1.0) * (1 + c * 1e-30))
+        return c + u[0, 0] * 1e-30
+
+    timed("schur_matvec", mv, jnp.float32(0.0), (sys_,),
+          nbytes=(2 * 32 + 16 + 8 + 2 * 4) * f32 * n, n_hi=32)
+
+    # jtj reduces need the stacked JR arrays; rebuild once.
+    from bundleadjustment_jl_tpu.ops import pallas_linearize
+    cxw = jax.jit(lambda p: pallas_linearize.pack_operands(
+        p.cams, p.points, p.cam_idx, p.pnt_idx, p.pt2d, p.w))(problem)
+    JR_t, W_t = jax.jit(pallas_linearize.linearize_w_kminor)(cxw)
+    JR_cam_t = jax.jit(lambda a, p: a[:, p.cam_perm])(JR_t, problem)
+
+    def lin(c, x):
+        jr, w = pallas_linearize.linearize_w_kminor(x * (1 + c * 1e-30))
+        return c + jr[24, 0] * 1e-30
+
+    timed("linearize_w_kminor", lin, jnp.float32(0.0), (cxw,),
+          nbytes=(16 + 64) * f32 * n)
+
+    def cam90(c, a, p):
+        out = pallas_schur.jtj_cam_reduce(
+            a * (1 + c * 1e-30), p.cam_idx[p.cam_perm], p.cam_starts,
+            p.ncams)
+        return c + out[0, 0] * 1e-30
+
+    timed("jtj_cam_reduce", cam90, jnp.float32(0.0), (JR_cam_t, problem),
+          nbytes=32 * f32 * n)
+
+    def pnt12(c, a, p):
+        out = pallas_schur.jtj_pnt_reduce(
+            a * (1 + c * 1e-30), p.pnt_idx, p.pnt_starts, p.npnts)
+        return c + out[0, 0] * 1e-30
+
+    timed("jtj_pnt_reduce", pnt12, jnp.float32(0.0), (JR_t, problem),
+          nbytes=16 * f32 * n)
+
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -54,19 +54,25 @@ def timed_chain(name, make_fn, args, n_hi=16, n_lo=1):
 
 def main(ncams=318, npnts=41628, obs_per_pnt=4, N=16):
     import os
+    kminor = False
     if os.environ.get("BA_PALLAS") == "1":
         from bundleadjustment_jl_tpu.ops import pallas_schur
         pallas_schur.set_mode(True)
-        print("PALLAS_MODE on", flush=True)
+        kminor = os.environ.get("BA_KMINOR", "1") == "1"
+        print(f"PALLAS_MODE on (kminor assembly={kminor})", flush=True)
     print(f"backend={jax.default_backend()} ncams={ncams} npnts={npnts}",
           flush=True)
     problem, _ = synthetic_bal(ncams=ncams, npnts=npnts,
                                obs_per_pnt=obs_per_pnt, noise_px=1.0,
                                perturb=2e-2, seed=1, dtype=jnp.float32,
                                pad_obs_to=512)
+    if kminor:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        kminor = pallas_schur.problem_ok(problem, jnp.float32)
     print(f"nobs={problem.nobs}", flush=True)
     lam = jnp.asarray(1e2, jnp.float32)
-    blocks = jax.jit(lambda p: assemble_blocks(p, with_jr=False))(problem)
+    blocks = jax.jit(lambda p: assemble_blocks(
+        p, with_jr=False, kminor=kminor))(problem)
     sys_ = jax.jit(reduce_system)(problem, blocks, lam)
     L = jax.jit(lambda s: block_cholesky(schur_diag_blocks(s)))(sys_)
 
@@ -75,7 +81,8 @@ def main(ncams=318, npnts=41628, obs_per_pnt=4, N=16):
         def run(problem):
             def body(i, c):
                 b = assemble_blocks(problem, problem.cams + c * 1e-30,
-                                    problem.points, with_jr=False)
+                                    problem.points, with_jr=False,
+                                    kminor=kminor)
                 return c + jnp.sum(b.g_c) * 1e-30
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
