@@ -175,22 +175,25 @@ def test_kminor_assembly_matches_xla():
         got.W_cam_t - W_t_ref[:, prob.cam_perm]))) <= _tol(W_t_ref)
 
 
-def test_kminor_assembly_chunked():
-    """The streamed (lax.scan) k-minor linearization path == whole-width."""
+def test_kminor_assembly_block_sizes():
+    """The linearize kernel's grid tiling: different BLOCK_COLS (128 vs
+    the default, i.e. many small grid steps vs few big ones) produce
+    identical blocks."""
+    from bundleadjustment_jl_tpu.ops import pallas_linearize
     prob, _ = synthetic_bal(ncams=7, npnts=300, obs_per_pnt=4, seed=6,
                             dtype=jnp.float32, perturb=1e-2)
     old = pallas_schur.INTERPRET
+    old_bc = pallas_linearize.BLOCK_COLS
     try:
         pallas_schur.INTERPRET = True
-        whole = assemble_blocks(prob, with_jr=False, kminor=True,
-                                chunk=None)
-        # 512 does not divide nobs_pad necessarily -> exercises the tail
-        chunked = assemble_blocks(prob, with_jr=False, kminor=True,
-                                  chunk=512)
+        whole = assemble_blocks(prob, with_jr=False, kminor=True)
+        pallas_linearize.BLOCK_COLS = 128
+        tiled = assemble_blocks(prob, with_jr=False, kminor=True)
     finally:
         pallas_schur.INTERPRET = old
+        pallas_linearize.BLOCK_COLS = old_bc
     for name in ("g_c_f", "g_p_f", "Hcc_f", "Hpp_f", "W_t", "W_cam_t"):
-        a, b = getattr(chunked, name), getattr(whole, name)
+        a, b = getattr(tiled, name), getattr(whole, name)
         assert float(jnp.max(jnp.abs(a - b))) <= _tol(b), name
 
 
