@@ -287,17 +287,20 @@ def _assemble_kminor(problem: BAProblem, cams, points,
     remains in the signature for call symmetry with the XLA assembly.
     """
     del chunk
-    from bundleadjustment_jl_tpu.ops import pallas_linearize, pallas_schur
+    from bundleadjustment_jl_tpu.ops import (
+        pallas_linearize, pallas_schur, spmdctx)
     cxw = pallas_linearize.pack_operands(
         cams, points, problem.cam_idx, problem.pnt_idx, problem.pt2d,
         problem.w)
     JR_t, W_t = pallas_linearize.linearize_w_kminor(cxw)
-    obj = 0.5 * jnp.sum(JR_t[24:26] ** 2)
+    # spmd: objective and camera-space blocks sum over the mesh axis
+    # (rows are device-local); point-space blocks stay local.
+    obj = spmdctx.psum(0.5 * jnp.sum(JR_t[24:26] ** 2))
     cam_perm = problem.cam_perm
     JR_cam_t = JR_t[:, cam_perm]
-    out_c = pallas_schur.jtj_cam_reduce(
+    out_c = spmdctx.psum(pallas_schur.jtj_cam_reduce(
         JR_cam_t, problem.cam_idx[cam_perm], problem.cam_starts,
-        problem.ncams)
+        problem.ncams))
     out_p = pallas_schur.jtj_pnt_reduce(
         JR_t, problem.pnt_idx, problem.pnt_starts, problem.npnts)
     dt = cams.dtype
@@ -312,8 +315,13 @@ def _assemble_kminor(problem: BAProblem, cams, points,
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:
-    """||J'r|| over the full variable vector (`src/lm.jl:57`, dual_feas)."""
-    return jnp.sqrt(jnp.sum(blocks.g_c ** 2) + jnp.sum(blocks.g_p ** 2))
+    """||J'r|| over the full variable vector (`src/lm.jl:57`, dual_feas).
+
+    spmd: ``g_c`` is replicated (psummed at assembly), ``g_p`` is local
+    per shard — only the point term all-reduces."""
+    from bundleadjustment_jl_tpu.ops import spmdctx
+    return jnp.sqrt(jnp.sum(blocks.g_c ** 2)
+                    + spmdctx.psum(jnp.sum(blocks.g_p ** 2)))
 
 
 def inv3x3(M: jnp.ndarray) -> jnp.ndarray:

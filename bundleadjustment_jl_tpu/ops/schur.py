@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.blockmul import (
     jc_dot, jp_dot, m33_dot, w_dot_b, wT_dot_a)
+from bundleadjustment_jl_tpu.ops import spmdctx
 from bundleadjustment_jl_tpu.ops.gatherfree import take_cam, take_pnt
 from bundleadjustment_jl_tpu.ops.normal import (
     GNBlocks, damp, inv3x3, inv3x3_damped_flat)
@@ -138,10 +139,10 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
             sys = sys._replace(W_t=W_t, W_cam_t=W_t[:, sys.cam_perm])
         # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
         tmp8 = pallas_schur.pad_rows(tmp.T, 8)
-        corr = pallas_schur.wt_cam_reduce(
+        corr = spmdctx.psum(pallas_schur.wt_cam_reduce(
             sys.W_cam_t, tmp8[:, sys.pnt_idx[sys.cam_perm]],
             sys.cam_idx[sys.cam_perm], sys.cam_starts,
-            sys.Hcc_l.shape[0])
+            sys.Hcc_l.shape[0]))
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
     tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
                        problem.pnt_perm)
@@ -163,9 +164,10 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
         t8 = pallas_schur.wtv_point_reduce(
             sys.W_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
             sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f, out_k8=True)
-        u2 = pallas_schur.wt_cam_reduce(
+        u2 = spmdctx.psum(pallas_schur.wt_cam_reduce(
             sys.W_cam_t, t8[:, sys.pnt_idx[sys.cam_perm]],
-            sys.cam_idx[sys.cam_perm], sys.cam_starts, sys.Hcc_l.shape[0])
+            sys.cam_idx[sys.cam_perm], sys.cam_starts,
+            sys.Hcc_l.shape[0]))
         return u - u2
     # W' v, accumulated per point
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(v, sys.cam_idx)))
@@ -195,9 +197,9 @@ def schur_diag_blocks(sys: SchurSystem,
         # scatter (the measured co-dominant per-iteration cost).
         c6 = pallas_schur.hpp_inv_sym6_t(sys.Hpp_inv_f,
                                          sys.pnt_idx[sys.cam_perm])
-        wcw = pallas_schur.wcw_cam_reduce(
+        wcw = spmdctx.psum(pallas_schur.wcw_cam_reduce(
             sys.W_cam_t, c6, sys.cam_idx[sys.cam_perm], sys.cam_starts,
-            ncams)
+            ncams))
         return sys.Hcc_l - wcw.reshape(-1, 9, 9).astype(sys.Hcc_l.dtype)
     # NB: size//27, not sys.W.shape[0] — the property reshape of the flat W
     # carry to (n, 9, 3) survives into the TPU while-body HLO even unused,
@@ -272,7 +274,9 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
     """
     t_c = jnp.sum(dc * jnp.einsum("cab,cb->ca", blocks.Hcc, dc,
                                   precision=jax.lax.Precision.HIGHEST))
-    t_p = jnp.sum(dp * m33_dot(blocks.Hpp_f, dp))
+    # spmd: Hcc is replicated (t_c redundantly identical per device);
+    # Hpp/W are local -> the point and cross terms all-reduce.
+    t_p = spmdctx.psum(jnp.sum(dp * m33_dot(blocks.Hpp_f, dp)))
     from bundleadjustment_jl_tpu.ops import pallas_schur
     if pallas_schur.PALLAS_MODE and blocks.W_t is not None:
         # cross = sum_c dc[c] . segsum_cam(W_k dp[pnt_k]) — one fused pass
@@ -283,7 +287,7 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
             dp8[:, problem.pnt_idx[problem.cam_perm]],
             problem.cam_idx[problem.cam_perm], problem.cam_starts,
             problem.ncams)
-        return t_c + 2.0 * jnp.sum(cross_cam * dc) + t_p
+        return t_c + 2.0 * spmdctx.psum(jnp.sum(cross_cam * dc)) + t_p
     dp_obs = take_pnt(dp, problem.pnt_idx, problem.pnt_starts,
                       problem.pnt_perm)
     cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)

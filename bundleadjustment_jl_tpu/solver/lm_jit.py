@@ -38,6 +38,7 @@ from bundleadjustment_jl_tpu.ops.blockmul import jc_dot, jp_dot
 from bundleadjustment_jl_tpu.ops.normal import assemble_blocks, gradient_norm
 from bundleadjustment_jl_tpu.ops.pcg import (
     block_cho_solve, block_cholesky, forcing_rtol, pcg)
+from bundleadjustment_jl_tpu.ops import spmdctx
 from bundleadjustment_jl_tpu.ops.residuals import residuals
 from bundleadjustment_jl_tpu.ops.schur import (
     back_substitute, quad_form, reduce_system, schur_diag_blocks,
@@ -130,7 +131,8 @@ def _objective(problem, cams, points):
     # becomes a DEFAULT-precision batched dot_general, which the TPU
     # backend demotes to bf16 and tile-pads at full observation width.
     r = residuals(problem, cams, points)
-    return 0.5 * jnp.sum(r * r)
+    # spmd: rows are device-local -> the sum all-reduces (no-op otherwise)
+    return spmdctx.psum(0.5 * jnp.sum(r * r))
 
 
 def _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol, ortol,
@@ -174,8 +176,7 @@ def _maybe_cast_facto(blocks, facto_dtype):
     return blocks._replace(W_f=blocks.W_f.astype(fd))
 
 
-@partial(jax.jit, static_argnames=_STATIC)
-def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
+def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
              ls_max, lam0_mode, use_forcing, facto_dtype,
              pcg_warm, gather_mode, sorted_mode, pallas_mode):
@@ -198,7 +199,8 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
         # reshape the (P*9,) buffer to (P,3,3) (tile-padded in TPU HLO)
         maxdiag = jnp.maximum(
             jnp.max(blocks0.Hcc_f.reshape(-1, 81)[:, ::10]),
-            jnp.max(blocks0.Hpp_f.reshape(-1, 9)[:, ::4])).astype(dtype)
+            spmdctx.pmax(
+                jnp.max(blocks0.Hpp_f.reshape(-1, 9)[:, ::4]))).astype(dtype)
         lam_init = 1e-3 * maxdiag
     else:
         lam_init = jnp.maximum(
@@ -225,13 +227,10 @@ def _lm_init(problem: BAProblem, cams, points, hp, *, max_iters,
     )
 
 
-# ``state`` is DONATED: without donation the full solver state (including
-# the (nobs*27,) W blocks) stays pinned as an input while the while-loop
-# double-buffers its carry — a ~2x peak-memory tax over the round-1
-# single-program structure that crashed the TPU worker at Dubrovnik-356
-# scale. Callers never reuse the state they pass in.
-@partial(jax.jit, static_argnames=_STATIC, donate_argnums=(1,))
-def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
+_lm_init = partial(jax.jit, static_argnames=_STATIC)(_lm_init_impl)
+
+
+def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
             use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode,
             pallas_mode):
@@ -305,15 +304,19 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         dc = dc.astype(dtype)
         dp = dp.astype(dtype)
 
-        gd = jnp.sum(blocks.g_c * dc) + jnp.sum(blocks.g_p * dp)
+        # spmd: g_c/dc replicated, g_p/dp local per shard
+        gd = (jnp.sum(blocks.g_c * dc)
+              + spmdctx.psum(jnp.sum(blocks.g_p * dp)))
         if use_cgls:
             Jd = (jc_dot(blocks.Jc_f, dc[problem.cam_idx])
                   + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
             Jd2 = jnp.sum(Jd * Jd)
         else:
             Jd2 = quad_form(problem, blocks, dc, dp).astype(dtype)
-        dnorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp * dp))
-        xnorm = jnp.sqrt(jnp.sum(cams ** 2) + jnp.sum(points ** 2))
+        dnorm = jnp.sqrt(jnp.sum(dc * dc)
+                         + spmdctx.psum(jnp.sum(dp * dp)))
+        xnorm = jnp.sqrt(jnp.sum(cams ** 2)
+                         + spmdctx.psum(jnp.sum(points ** 2)))
 
         # A NaN step (f32 Cholesky of a near-indefinite system at small
         # lambda) is treated as a REJECTION — lambda grows and the solve
@@ -423,6 +426,17 @@ def _lm_run(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
 
     del max_iters
     return jax.lax.while_loop(cond, body, state)
+
+
+# ``state`` is DONATED: without donation the full solver state (including
+# the (nobs*27,) W blocks) stays pinned as an input while the while-loop
+# double-buffers its carry — a ~2x peak-memory tax over the round-1
+# single-program structure that crashed the TPU worker at Dubrovnik-356
+# scale. Callers never reuse the state they pass in.
+# The `_impl` (unjitted) forms exist for `solver/lm_spmd.py`, which traces
+# them inside one shard_map.
+_lm_run = partial(jax.jit, static_argnames=_STATIC,
+                  donate_argnums=(1,))(_lm_run_impl)
 
 
 def _finalize(st, final_status=None, elapsed=float("nan")) -> LMJitResult:

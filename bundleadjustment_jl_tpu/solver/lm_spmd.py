@@ -1,0 +1,159 @@
+"""Multi-chip LM with the fused Pallas kernels: one `shard_map` solve.
+
+`solver/lm_jit.py` is the single-chip flagship; `parallel/mesh.py` is the
+GSPMD scale-out path (XLA partitions the scatter/gather formulation).
+This driver combines them: the WHOLE jitted LM loop (same `_lm_*_impl`
+body — lambda schedule, acceptance, stopping tests) runs inside ONE
+`shard_map` over a 1-D device mesh, so every device executes the fused
+kernels (`ops/pallas_linearize.py`, `ops/pallas_schur.py`) on its own
+point-aligned shard (`parallel/spmd.py`) while the camera-space
+reductions `psum` over the mesh axis (`ops/spmdctx.py`).
+
+What is local vs replicated:
+
+- per-observation arrays, points, Hpp, g_p, dp: device-local;
+- cameras, Hcc, g_c, the reduced RHS/matvec results, PCG state, the
+  lambda/acceptance scalars: replicated (psum-derived) — every device
+  runs the identical scalar control flow, so the `lax.while_loop`
+  stays in lockstep with zero divergence by construction.
+
+Collective footprint per LM iteration: one (ncams, 90) psum at
+assembly, one (ncams, 9) psum per CG matvec, one (ncams, 81) psum for
+the preconditioner diagonal, plus O(1) scalar psums — all camera-space,
+riding ICI (SURVEY.md §2.3: `reduce_scatter`/`all_reduce` over the
+camera axis is the prescribed collective layout; here sum-replicate,
+since PCG needs the full reduced system on every device).
+"""
+
+from __future__ import annotations
+
+import inspect
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+shard_map = getattr(jax, "shard_map", None)
+if shard_map is None:                                  # older JAX
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import PartitionSpec as P
+
+from bundleadjustment_jl_tpu.models.problem import BAProblem
+from bundleadjustment_jl_tpu.ops import spmdctx
+from bundleadjustment_jl_tpu.parallel.spmd import (
+    SPMD_AXIS, ShardStack, SpmdProblem)
+from bundleadjustment_jl_tpu.solver.lm_jit import (
+    LMJitResult, MAX_ITER, RUNNING, _lm_init_impl, _lm_run_impl,
+    _resolve_hp)
+
+_CACHE: dict = {}
+
+
+def _check_kw():
+    sig = inspect.signature(shard_map).parameters
+    if "check_vma" in sig:
+        return {"check_vma": False}
+    return {"check_rep": False}
+
+
+def _local_solve(arrs: ShardStack, hp, lam0, *, statics, has_lam0):
+    """Per-device body: rebuild the local BAProblem and run the shared
+    LM implementation; spmdctx hooks supply the cross-device sums."""
+    M = arrs.cam_idx.shape[1]
+    PL = arrs.points.shape[1]
+    lp = BAProblem(
+        cams=arrs.cams, points=arrs.points.reshape(PL, 3),
+        cam_idx=arrs.cam_idx.reshape(M), pnt_idx=arrs.pnt_idx.reshape(M),
+        pt2d=arrs.pt2d.reshape(M, 2), w=arrs.w.reshape(M),
+        nobs=M, name="spmd-shard",
+        pnt_starts=arrs.pnt_starts.reshape(-1),
+        cam_perm=arrs.cam_perm.reshape(M),
+        cam_starts=arrs.cam_starts.reshape(-1))
+    state = _lm_init_impl(lp, lp.cams, lp.points, hp, **statics)
+    if has_lam0:
+        state = dict(state, lam=lam0.astype(state["lam"].dtype))
+    st = _lm_run_impl(lp, state, hp, **statics)
+    return dict(
+        cams=st["cams"].reshape(-1, 9),
+        points=st["points"].reshape(1, PL, 3),
+        obj=st["obj"], gnorm=st["gnorm"], it=st["it"],
+        status=st["status"], naccepts=st["naccepts"],
+        hist_obj=st["hist_obj"], hist_gnorm=st["hist_gnorm"],
+        hist_lam=st["hist_lam"], hist_cg=st["hist_cg"])
+
+
+def _get_fn(mesh, statics, has_lam0):
+    key = (mesh, tuple(sorted(statics.items())), has_lam0)
+    fn = _CACHE.get(key)
+    if fn is not None:
+        return fn
+    obs = P(SPMD_AXIS)
+    rep = P()
+    in_arr_specs = ShardStack(rep, *([obs] * (len(ShardStack._fields) - 1)))
+    out_specs = dict(
+        cams=rep, points=obs, obj=rep, gnorm=rep, it=rep, status=rep,
+        naccepts=rep, hist_obj=rep, hist_gnorm=rep, hist_lam=rep,
+        hist_cg=rep)
+    body = partial(_local_solve, statics=statics, has_lam0=has_lam0)
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(in_arr_specs, rep, rep),
+        out_specs=out_specs, **_check_kw()))
+    _CACHE[key] = fn
+    return fn
+
+
+def levenberg_marquardt_spmd(
+    sp: SpmdProblem, mesh, *,
+    max_iters: int = 200,
+    lam0=None, lam0_mode: str = "ref",
+    atol=None, rtol=None, restol=None, satol=None, srtol=None,
+    oatol=None, ortol=None,
+    nu_d=3.0, nu_m=3.0, accept_ratio=1e-4, good_ratio=0.9, lam_min=1e-8,
+    lam_strategy: str = "ref",
+    pcg_rtol=None, pcg_max_iters: int = 100,
+    linesearch: bool = False, ls_max: int = 4,
+    facto_dtype=None, pcg_warm: bool = False,
+) -> LMJitResult:
+    """Fused-kernel LM over a device mesh. Same options as
+    :func:`levenberg_marquardt_jit` (PCG solver only — it is the scale
+    configuration); requires `pallas_schur.PALLAS_MODE` on and a
+    point-aligned :class:`SpmdProblem` (`shard_problem_kminor`)."""
+    from bundleadjustment_jl_tpu.ops import gatherfree, pallas_schur, segsum
+    if not pallas_schur.PALLAS_MODE:
+        raise ValueError("levenberg_marquardt_spmd requires "
+                         "pallas_schur.set_mode(True) — it exists to run "
+                         "the fused kernels multi-chip; use the GSPMD "
+                         "mesh path otherwise")
+    dtype = sp.arrays.cams.dtype
+    hp = _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol,
+                     ortol, nu_d, nu_m, accept_ratio, good_ratio, lam_min,
+                     pcg_rtol, lam_strategy)
+    statics = dict(max_iters=max_iters, pcg_max_iters=pcg_max_iters,
+                   use_dense=False, use_cgls=False, use_power=False,
+                   linesearch=linesearch, ls_max=ls_max,
+                   lam0_mode=lam0_mode, use_forcing=pcg_rtol is None,
+                   facto_dtype=(None if facto_dtype is None
+                                else jnp.dtype(facto_dtype).name),
+                   pcg_warm=pcg_warm,
+                   gather_mode=gatherfree.MODE,
+                   sorted_mode=segsum.SORTED_MODE,
+                   pallas_mode=True)
+    has_lam0 = lam0 is not None
+    lam0_val = jnp.asarray(0.0 if lam0 is None else lam0, dtype)
+    fn = _get_fn(mesh, statics, has_lam0)
+    spmdctx.AXIS = SPMD_AXIS
+    try:
+        out = fn(sp.arrays, hp, lam0_val)
+    finally:
+        spmdctx.AXIS = None
+    status = int(out["status"])
+    if status == RUNNING:
+        status = MAX_ITER
+    return LMJitResult(
+        cams=out["cams"], points=sp.global_points(out["points"]),
+        objective=out["obj"], dual_feas=out["gnorm"],
+        iterations=out["it"], status=jnp.asarray(status, jnp.int32),
+        hist_obj=out["hist_obj"], hist_gnorm=out["hist_gnorm"],
+        hist_lam=out["hist_lam"], hist_cg=out["hist_cg"],
+        naccepts=out["naccepts"])

@@ -1,0 +1,110 @@
+"""Fused-kernel multi-chip solve (`solver/lm_spmd.py`) on a virtual mesh.
+
+The spmd driver runs the SAME `_lm_*_impl` body as the single-chip jit
+driver inside one shard_map, with `ops/spmdctx.py` psums at the
+camera-space reduction points — so a sharded solve must match the
+single-device Pallas solve step for step (identical lambda schedule and
+acceptance decisions; floating-point reassociation across shards is the
+only difference).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
+from bundleadjustment_jl_tpu.ops import pallas_schur
+from bundleadjustment_jl_tpu.parallel.spmd import shard_problem_kminor
+from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
+from bundleadjustment_jl_tpu.solver.lm_spmd import levenberg_marquardt_spmd
+
+
+def _mesh(n):
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.asarray(devs[:n]), ("obs",))
+
+
+def _problem(seed=3):
+    prob, _ = synthetic_bal(ncams=11, npnts=400, obs_per_pnt=4, seed=seed,
+                            dtype=jnp.float32, perturb=2e-2, noise_px=1.0)
+    return prob
+
+
+def test_shard_builder_roundtrip():
+    prob = _problem()
+    sp = shard_problem_kminor(prob, 4)
+    assert sp.ndev == 4
+    assert int(sp.npnts_loc.sum()) == prob.npnts
+    assert int(sp.nobs_loc.sum()) == prob.nobs
+    # every shard's rows reference only its own points, in local ids
+    arrs = sp.arrays
+    for d in range(4):
+        w = np.asarray(arrs.w[d])
+        pi = np.asarray(arrs.pnt_idx[d])[w > 0]
+        assert pi.min() >= 0 and pi.max() < sp.npnts_loc[d]
+    # global point array reassembles exactly
+    got = np.asarray(sp.global_points(np.asarray(arrs.points)))
+    np.testing.assert_array_equal(got, np.asarray(prob.points))
+    # per-shard padded row counts are uniform multiples of 128
+    assert arrs.cam_idx.shape[1] % 128 == 0
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_spmd_solve_matches_single_device(ndev):
+    mesh = _mesh(ndev)
+    prob = _problem()
+    opts = dict(max_iters=25, pcg_max_iters=60, lam0_mode="diag",
+                satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
+                oatol=0.0, ortol=1e-4)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        ref = levenberg_marquardt_jit(prob, **opts)
+        sp = shard_problem_kminor(prob, ndev, mesh=mesh)
+        got = levenberg_marquardt_spmd(sp, mesh, **opts)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    assert int(got.iterations) == int(ref.iterations)
+    assert int(got.status) == int(ref.status)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-4 * max(1.0, robj)
+    # state parity (f32; reassociated sums across shards)
+    np.testing.assert_allclose(np.asarray(got.cams),
+                               np.asarray(ref.cams), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.points),
+                               np.asarray(ref.points), rtol=1e-3, atol=1e-3)
+
+
+def test_spmd_linesearch_and_facto():
+    """Options plumb through: batched linesearch + bf16 W storage."""
+    mesh = _mesh(4)
+    prob = _problem(seed=9)
+    opts = dict(max_iters=15, pcg_max_iters=60, lam0_mode="diag",
+                satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
+                oatol=0.0, ortol=1e-4, linesearch=True,
+                facto_dtype=jnp.bfloat16)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        ref = levenberg_marquardt_jit(prob, **opts)
+        sp = shard_problem_kminor(prob, 4, mesh=mesh)
+        got = levenberg_marquardt_spmd(sp, mesh, **opts)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-3 * max(1.0, robj)
+
+
+def test_spmd_requires_pallas_mode():
+    mesh = _mesh(2)
+    prob = _problem()
+    sp = shard_problem_kminor(prob, 2, mesh=mesh)
+    assert not pallas_schur.PALLAS_MODE
+    with pytest.raises(ValueError, match="set_mode"):
+        levenberg_marquardt_spmd(sp, mesh, max_iters=2)
