@@ -46,11 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="linear-step solver: Schur+PCG (default), dense "
                         "Schur Cholesky, damped CGLS on J, or PBA-style "
                         "power series")
-    p.add_argument("--driver", choices=["host", "jit", "chunked"],
+    p.add_argument("--driver", choices=["host", "jit", "chunked", "spmd"],
                    default="jit",
                    help="host-stepped loop (rich logging), one-XLA-program, "
-                        "or the chunked jit driver (max-time + checkpoint "
-                        "support at jit speed)")
+                        "the chunked jit driver (max-time + checkpoint "
+                        "support at jit speed), or the multi-chip "
+                        "fused-kernel shard_map driver (use with --mesh N; "
+                        "implies --pallas)")
     p.add_argument("--chunk-iters", type=int, default=25,
                    help="iterations per compiled segment (chunked driver)")
     p.add_argument("--checkpoint-dir", default=None,
@@ -75,7 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed PCG tolerance (default: adaptive forcing)")
     p.add_argument("--lam0", type=float, default=None)
     p.add_argument("--mesh", type=int, default=None, metavar="N",
-                   help="shard observations over the first N devices")
+                   help="shard observations over the first N devices "
+                        "(GSPMD; with --driver spmd: point-aligned "
+                        "shard_map layout)")
+    p.add_argument("--pallas", action="store_true",
+                   help="enable the fused Pallas kernels "
+                        "(ops/pallas_schur.py, ops/pallas_linearize.py)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host SPMD: the "
                         "mesh spans every process's devices; set the "
@@ -124,7 +131,13 @@ def main(argv=None) -> int:
               f"nvar={problem.nvar} nequ={problem.nequ} "
               f"[{backend}/{dtype_name}, load {load_s:.2f}s]")
 
-    if args.mesh:
+    if args.pallas or args.driver == "spmd":
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        pallas_schur.set_mode(True)
+        if backend != "tpu":
+            pallas_schur.INTERPRET = True   # correct, not fast, off-TPU
+    mesh = None
+    if args.mesh and args.driver != "spmd":
         from bundleadjustment_jl_tpu.parallel.mesh import (
             make_mesh, shard_problem)
         problem = shard_problem(problem, make_mesh(args.mesh))
@@ -161,6 +174,20 @@ def main(argv=None) -> int:
                 max_time=args.max_time,
                 checkpoint_dir=args.checkpoint_dir, resume=args.resume,
                 **kw)
+        elif args.driver == "spmd":
+            from bundleadjustment_jl_tpu.parallel.mesh import make_mesh
+            from bundleadjustment_jl_tpu.parallel.spmd import (
+                shard_problem_kminor)
+            from bundleadjustment_jl_tpu.solver.lm_spmd import (
+                levenberg_marquardt_spmd)
+            ndev = min(args.mesh or len(jax.devices()),
+                       len(jax.devices()))
+            mesh = make_mesh(ndev)
+            sp = shard_problem_kminor(problem, ndev, mesh=mesh)
+            for k in ("use_dense", "use_cgls", "use_power"):
+                if kw.pop(k):
+                    raise SystemExit("--driver spmd supports --solver pcg")
+            res = levenberg_marquardt_spmd(sp, mesh, **kw)
         else:
             res = levenberg_marquardt_jit(problem, **kw)
         jax.block_until_ready(res.objective)

@@ -125,6 +125,11 @@ def levenberg_marquardt_spmd(
                          "pallas_schur.set_mode(True) — it exists to run "
                          "the fused kernels multi-chip; use the GSPMD "
                          "mesh path otherwise")
+    ndev_mesh = int(mesh.devices.size)
+    if sp.ndev != ndev_mesh:
+        raise ValueError(f"SpmdProblem has {sp.ndev} shards but the mesh "
+                         f"has {ndev_mesh} devices — rebuild with "
+                         f"shard_problem_kminor(problem, {ndev_mesh})")
     dtype = sp.arrays.cams.dtype
     hp = _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol,
                      ortol, nu_d, nu_m, accept_ratio, good_ratio, lam_min,
