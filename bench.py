@@ -53,23 +53,24 @@ def traffic_model_bytes(problem, iters, cg_total, itemsize=4):
     return cg_total * per_matvec + iters * per_iter
 
 
-def solve_cfg(problem):
+def solve_cfg(problem, facto_dtype=None):
     from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
     return levenberg_marquardt_jit(
         problem, max_iters=MAX_ITERS, pcg_max_iters=100,
         lam0_mode="diag", satol=0.0, srtol=0.0,
-        atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+        atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4,
+        facto_dtype=facto_dtype)
 
 
-def run(make_problem):
+def run(make_problem, facto_dtype=None):
     """(solve_s, result) — warm-up on a same-shape problem first; timing
     brackets a device->host fetch (the only true barrier on the remote
     tunnel)."""
-    warm = solve_cfg(make_problem(seed=1))
+    warm = solve_cfg(make_problem(seed=1), facto_dtype)
     float(warm.objective)
     problem = make_problem(seed=0)
     t0 = time.perf_counter()
-    res = solve_cfg(problem)
+    res = solve_cfg(problem, facto_dtype)
     obj = float(res.objective)
     return time.perf_counter() - t0, res, obj, problem
 
@@ -115,6 +116,10 @@ def main():
         }))
         return
     dub_s, dub_res, dub_obj, dub_p = run(dubrovnik)
+    # Mixed-precision factorization storage (the reference's facto_type,
+    # lm.jl:99): bf16 W blocks inside the f32 LM — halves the dominant
+    # matvec traffic. Reported alongside; headline stays full f32.
+    bf_s, bf_res, bf_obj, _ = run(dubrovnik, facto_dtype=jnp.bfloat16)
 
     it = int(dub_res.iterations)
     cg = int(jnp.sum(dub_res.hist_cg))
@@ -142,6 +147,11 @@ def main():
         "ladybug49_status": STATUS_NAMES[int(lady_res.status)],
         "ladybug49_rmse_px": round(
             (2.0 * lady_obj / (2 * lady_p.nobs)) ** 0.5, 4),
+        "bf16facto_s": round(bf_s, 4),
+        "bf16facto_vs_baseline": round(BASE_DUBROVNIK_S / bf_s, 2),
+        "bf16facto_rmse_px": round((2.0 * bf_obj / nequ) ** 0.5, 4),
+        "bf16facto_status": STATUS_NAMES[int(bf_res.status)],
+        "bf16facto_iterations": int(bf_res.iterations),
     }))
 
 
