@@ -108,7 +108,9 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     backend = jax.default_backend()
-    dtype_name = args.dtype or ("f64" if backend == "cpu" else "f32")
+    # spmd driver = fused kminor kernels (f32-accumulating, no f64 path).
+    dtype_name = args.dtype or (
+        "f32" if args.driver == "spmd" or backend != "cpu" else "f64")
     if dtype_name == "f64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -179,7 +181,7 @@ def main(argv=None) -> int:
             from bundleadjustment_jl_tpu.parallel.spmd import (
                 shard_problem_kminor)
             from bundleadjustment_jl_tpu.solver.lm_spmd import (
-                levenberg_marquardt_spmd)
+                levenberg_marquardt_spmd, levenberg_marquardt_spmd_chunked)
             ndev = min(args.mesh or len(jax.devices()),
                        len(jax.devices()))
             mesh = make_mesh(ndev)
@@ -187,7 +189,14 @@ def main(argv=None) -> int:
             for k in ("use_dense", "use_cgls", "use_power"):
                 if kw.pop(k):
                     raise SystemExit("--driver spmd supports --solver pcg")
-            res = levenberg_marquardt_spmd(sp, mesh, **kw)
+            if args.checkpoint_dir or args.resume:
+                res = levenberg_marquardt_spmd_chunked(
+                    sp, mesh, chunk_iters=args.chunk_iters,
+                    max_time=args.max_time,
+                    checkpoint_dir=args.checkpoint_dir,
+                    resume=args.resume, **kw)
+            else:
+                res = levenberg_marquardt_spmd(sp, mesh, **kw)
         else:
             res = levenberg_marquardt_jit(problem, **kw)
         jax.block_until_ready(res.objective)

@@ -79,6 +79,19 @@ class SpmdProblem:
                  for d in range(self.ndev)]
         return jnp.asarray(np.concatenate(parts, axis=0))
 
+    def split_points(self, points_global) -> jnp.ndarray:
+        """(npnts, 3) global point array -> (D, PL, 3) stacked local
+        layout (zero-padded) — the inverse of :meth:`global_points`,
+        used on checkpoint resume."""
+        dt = self.arrays.points.dtype
+        pts = np.asarray(points_global, dt).reshape(self.npnts, 3)
+        PL = self.arrays.points.shape[1]
+        out = np.zeros((self.ndev, PL, 3), pts.dtype)
+        for d in range(self.ndev):
+            lo = self.point_offsets[d]
+            out[d, :self.npnts_loc[d]] = pts[lo:lo + self.npnts_loc[d]]
+        return jnp.asarray(out)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

@@ -108,3 +108,60 @@ def test_spmd_requires_pallas_mode():
     assert not pallas_schur.PALLAS_MODE
     with pytest.raises(ValueError, match="set_mode"):
         levenberg_marquardt_spmd(sp, mesh, max_iters=2)
+
+
+def test_spmd_rejects_float64():
+    """f64 would silently skip the psum-hooked fused assembly inside the
+    shard_map — both spmd drivers must refuse it up front."""
+    from bundleadjustment_jl_tpu.solver.lm_spmd import (
+        levenberg_marquardt_spmd, levenberg_marquardt_spmd_chunked)
+    mesh = _mesh(2)
+    prob, _ = synthetic_bal(ncams=4, npnts=30, obs_per_pnt=3, seed=1,
+                            dtype=jnp.float64)
+    old = pallas_schur.PALLAS_MODE
+    try:
+        pallas_schur.set_mode(True)
+        sp = shard_problem_kminor(prob, 2, mesh=mesh)
+        with pytest.raises(ValueError, match="float64"):
+            levenberg_marquardt_spmd(sp, mesh, max_iters=2)
+        with pytest.raises(ValueError, match="float64"):
+            levenberg_marquardt_spmd_chunked(sp, mesh, max_iters=2)
+    finally:
+        pallas_schur.set_mode(old)
+
+
+def test_spmd_chunked_matches_and_resumes(tmp_path):
+    """Chunked spmd == one-shot spmd; checkpoint/resume continues the
+    same solve (state crosses the shard_map boundary between segments)."""
+    from bundleadjustment_jl_tpu.solver.lm_spmd import (
+        levenberg_marquardt_spmd_chunked)
+    mesh = _mesh(4)
+    prob = _problem(seed=5)
+    opts = dict(max_iters=20, pcg_max_iters=60, lam0_mode="diag",
+                satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
+                oatol=0.0, ortol=1e-4)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        sp = shard_problem_kminor(prob, 4, mesh=mesh)
+        ref = levenberg_marquardt_spmd(sp, mesh, **opts)
+        got = levenberg_marquardt_spmd_chunked(sp, mesh, chunk_iters=3,
+                                               **opts)
+        assert int(got.iterations) == int(ref.iterations)
+        robj = float(ref.objective)
+        assert abs(float(got.objective) - robj) <= 1e-5 * max(1.0, robj)
+
+        # checkpoint at every chunk, stop early via max_iters, resume
+        ck = str(tmp_path / "ck")
+        part = levenberg_marquardt_spmd_chunked(
+            sp, mesh, chunk_iters=3, checkpoint_dir=ck,
+            **{**opts, "max_iters": 6})
+        assert int(part.iterations) == 6
+        resumed = levenberg_marquardt_spmd_chunked(
+            sp, mesh, chunk_iters=3, checkpoint_dir=ck, resume=True,
+            **opts)
+        assert int(resumed.iterations) >= 6
+        assert abs(float(resumed.objective) - robj) <= 1e-3 * max(1.0, robj)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
