@@ -74,8 +74,16 @@ class SpmdProblem:
         return self.arrays.cams.shape[0]
 
     def global_points(self, points_stacked) -> jnp.ndarray:
-        """(D, PL, 3) solver output -> (npnts, 3) global point array."""
-        parts = [np.asarray(points_stacked[d])[:self.npnts_loc[d]]
+        """(D, PL, 3) solver output -> (npnts, 3) global point array.
+
+        Multi-process: shards owned by other hosts are not addressable;
+        all-gather the global value first (host-side, points are small —
+        ~10 MB even at Venice scale)."""
+        x = points_stacked
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
+        parts = [np.asarray(x[d])[:self.npnts_loc[d]]
                  for d in range(self.ndev)]
         return jnp.asarray(np.concatenate(parts, axis=0))
 

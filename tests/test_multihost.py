@@ -26,9 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.skipif(os.environ.get("BA_TPU_SUBPROC_TESTS") == "0",
-                    reason="subprocess test disabled via env")
-def test_two_process_distributed_solve_matches_single():
+def _run_two_process(worker: str):
     addr = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -37,7 +35,7 @@ def test_two_process_distributed_solve_matches_single():
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.join(_DIR, "multihost_worker.py"),
+            [sys.executable, os.path.join(_DIR, worker),
              addr, "2", str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=_REPO, env=env)
@@ -60,6 +58,13 @@ def test_two_process_distributed_solve_matches_single():
         assert lines, f"no RESULT line in: {out!r}"
         _, obj, iters, status = lines[-1].split()
         results.append((float(obj), int(iters), status))
+    return results
+
+
+@pytest.mark.skipif(os.environ.get("BA_TPU_SUBPROC_TESTS") == "0",
+                    reason="subprocess test disabled via env")
+def test_two_process_distributed_solve_matches_single():
+    results = _run_two_process("multihost_worker.py")
 
     # both processes see the identical replicated result
     assert results[0] == results[1]
@@ -80,3 +85,35 @@ def test_two_process_distributed_solve_matches_single():
     assert status == STATUS_NAMES[int(res.status)]
     # f32 reduction orders differ between 1- and 2-device partitionings
     assert obj == pytest.approx(float(res.objective), rel=1e-5)
+
+
+@pytest.mark.skipif(os.environ.get("BA_TPU_SUBPROC_TESTS") == "0",
+                    reason="subprocess test disabled via env")
+def test_two_process_spmd_fused_solve_matches_single():
+    """Multi-host proof for the SECOND layout: the fused-kernel spmd
+    driver (shard_map + explicit psums) across 2 processes must agree
+    with a single-process single-device Pallas solve."""
+    results = _run_two_process("multihost_worker_spmd.py")
+    assert results[0] == results[1]
+
+    import jax.numpy as jnp
+
+    from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    from bundleadjustment_jl_tpu.solver.lm_jit import (
+        STATUS_NAMES, levenberg_marquardt_jit)
+    problem, _ = synthetic_bal(ncams=6, npnts=64, obs_per_pnt=3,
+                               noise_px=0.5, perturb=1e-2, seed=7,
+                               dtype=jnp.float32, pad_obs_to=128)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        res = levenberg_marquardt_jit(problem, max_iters=10,
+                                      lam0_mode="diag")
+        obj, iters, status = results[0]
+        assert iters == int(res.iterations)
+        assert status == STATUS_NAMES[int(res.status)]
+        assert obj == pytest.approx(float(res.objective), rel=1e-5)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
