@@ -79,6 +79,11 @@ def main():
     from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
     from bundleadjustment_jl_tpu.solver.lm_jit import STATUS_NAMES
 
+    # Env-pinned platform (e.g. BENCH_PLATFORM=cpu): this container's
+    # sitecustomize pins the axon TPU tunnel, and backend init BLOCKS when
+    # the tunnel is down — env vars are too late, jax.config works.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     backend = jax.default_backend()
     dtype = jnp.float32
 
