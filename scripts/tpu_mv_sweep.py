@@ -86,6 +86,81 @@ def main(ncams=356, npnts=226730, obs_per_pnt=6):
     timed("jtj_pnt_reduce", pnt12, jnp.float32(0.0), (JR_t, problem),
           nbytes=16 * f32 * n)
 
+    dma_probe(n)
+
+
+def dma_probe(n, P=512):
+    """Per-chunk fixed-cost probe: a minimal streaming kernel with the
+    SAME structure as `_seg_reduce_kernel` (double-buffered fori_loop,
+    one (32, C) big DMA) plus 0/1/2 extra (1, C) small DMAs and a token
+    reduce. The delta between nsmall=0 and nsmall=2 is the cost folding
+    the id rows into W would recover; the C-scaling of nsmall=0 is the
+    irreducible per-chunk overhead (loop + semaphores + reduce)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = pallas_schur._chunk_rows(n)
+    f32 = 4
+
+    def kern(big_ref, s1_ref, s2_ref, out_ref, big_s, s1_s, s2_s, acc,
+             sems, *, nsmall):
+        nchunks = n // C
+        copies = [(lambda j: big_ref.at[:, pl.ds(j * C, C)], big_s)]
+        if nsmall >= 1:
+            copies.append((lambda j: s1_ref.at[:, pl.ds(j * C, C)], s1_s))
+        if nsmall >= 2:
+            copies.append((lambda j: s2_ref.at[:, pl.ds(j * C, C)], s2_s))
+        acc[:] = jnp.zeros_like(acc)
+        pallas_schur._dma_start(copies, 0, 0, sems)
+
+        def body(j, _):
+            slot = jax.lax.rem(j, jnp.int32(2))
+
+            @pl.when(j + 1 < nchunks)
+            def _():
+                pallas_schur._dma_start(
+                    copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
+
+            pallas_schur._dma_wait(copies, j, slot, sems)
+            x = big_s[slot].astype(jnp.float32)
+            if nsmall >= 1:
+                x = x + s1_s[slot].astype(jnp.float32)
+            if nsmall >= 2:
+                x = x + s2_s[slot].astype(jnp.float32)
+            acc[:] += jnp.sum(x, axis=1, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+        out_ref[:] = acc[:]
+
+    big = jnp.ones((32, n), jnp.float32)
+    s1 = jnp.ones((1, n), jnp.float32)
+    s2 = jnp.ones((1, n), jnp.float32)
+    for nsmall in (0, 1, 2):
+        f = pl.pallas_call(
+            functools.partial(kern, nsmall=nsmall),
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec((32, 1), lambda t: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((32, 1), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 32, C), jnp.float32),
+                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((32, 1), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            interpret=pallas_schur.INTERPRET,
+        )
+
+        def run(c, a, b1, b2):
+            out = f(a * (1 + c * 1e-30), b1, b2)
+            return c + out[0, 0] * 1e-30
+
+        timed(f"dma_probe_nsmall{nsmall}", run, jnp.float32(0.0),
+              (big, s1, s2), nbytes=(32 + nsmall) * f32 * n)
 
 
 if __name__ == "__main__":
