@@ -110,6 +110,26 @@ def test_spmd_requires_pallas_mode():
         levenberg_marquardt_spmd(sp, mesh, max_iters=2)
 
 
+def test_spmd_facto_bf16_matches_f32():
+    """The reference's facto_type mode on the multi-chip path: bf16 W
+    storage inside the f32 LM must converge to the same objective."""
+    mesh = _mesh(4)
+    prob = _problem(seed=3)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        sp = shard_problem_kminor(prob, 4, mesh=mesh)
+        opts = dict(max_iters=15, lam0_mode="diag")
+        rb = levenberg_marquardt_spmd(sp, mesh, facto_dtype=jnp.bfloat16,
+                                      **opts)
+        rf = levenberg_marquardt_spmd(sp, mesh, **opts)
+        fobj = float(rf.objective)
+        assert abs(float(rb.objective) - fobj) <= 1e-2 * max(1.0, fobj)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+
+
 def test_spmd_rejects_float64():
     """f64 would silently skip the psum-hooked fused assembly inside the
     shard_map — both spmd drivers must refuse it up front."""
