@@ -296,14 +296,27 @@ def _assemble_kminor(problem: BAProblem, cams, points,
     # spmd: objective and camera-space blocks sum over the mesh axis
     # (rows are device-local); point-space blocks stay local.
     obj = spmdctx.psum(0.5 * jnp.sum(JR_t[24:26] ** 2))
-    cam_perm = problem.cam_perm
-    JR_cam_t = JR_t[:, cam_perm]
-    out_c = spmdctx.psum(pallas_schur.jtj_cam_reduce(
-        JR_cam_t, problem.cam_idx[cam_perm], problem.cam_starts,
-        problem.ncams))
+    dt = cams.dtype
+    if pallas_schur.cam_scatter_ok(problem, problem.ncams):
+        # camera-scatter mode: camera-direction reduces stream the
+        # point-sorted arrays directly — the camera-sorted JR/W lane
+        # permutations (256+128 B/row of gather traffic and W_cam_t's
+        # HBM residency) are never built.
+        bounds = pallas_schur.tile_bounds(problem.pnt_starts,
+                                          problem.npnts)
+        out_c = spmdctx.psum(pallas_schur.cam_scatter_reduce(
+            JR_t, problem.cam_idx, bounds, problem.ncams, d_out=90,
+            prod=pallas_schur._prod_cam90))
+        W_cam_t = None
+    else:
+        cam_perm = problem.cam_perm
+        JR_cam_t = JR_t[:, cam_perm]
+        out_c = spmdctx.psum(pallas_schur.jtj_cam_reduce(
+            JR_cam_t, problem.cam_idx[cam_perm], problem.cam_starts,
+            problem.ncams))
+        W_cam_t = W_t[:, cam_perm].astype(dt)
     out_p = pallas_schur.jtj_pnt_reduce(
         JR_t, problem.pnt_idx, problem.pnt_starts, problem.npnts)
-    dt = cams.dtype
     return GNBlocks(
         g_c_f=out_c[:, 81:90].astype(dt).reshape(-1),
         g_p_f=out_p[:, 9:12].astype(dt).reshape(-1),
@@ -311,7 +324,7 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
         W_f=None, obj=obj,
         W_t=W_t.astype(dt),
-        W_cam_t=W_t[:, cam_perm].astype(dt))
+        W_cam_t=W_cam_t)
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

@@ -54,6 +54,12 @@ Instantiations (wired behind ``PALLAS_MODE`` in `ops/schur.py`):
   streams ``Y = W Hpp_inv`` here (built once per `reduce_system`), which
   absorbs the point-diagonal solve into the camera pass:
   ``S v = Hcc_l v - segsum_cam(Y_k t_raw[pnt_k])``.
+- camera-scatter alternative (:func:`cam_scatter_reduce`, opt-in via
+  ``BA_CAM_SCATTER=1``): the camera-direction reductions stream the
+  POINT-sorted arrays instead, scatter-accumulating into a persistent
+  (ncams, d_out) VMEM buffer across the sequential grid — the
+  camera-sorted W/JR copies and the per-matvec (8, n) operand gather
+  disappear entirely (see the section comment below).
 
 Reference role: the sweep this replaces is the reference's per-iteration
 LDL^T factorization/solve (`/root/reference/src/ldl_aux.jl:122-201`);
@@ -111,6 +117,16 @@ K_PAD = 32
 # past this camera count an XLA pre-gather of v (64 B/row of padded
 # 9-vector traffic) is cheaper than the one-hot contraction.
 GATHER_TABLE_MAX_CAMS = 1024
+
+# Camera-scatter mode (`cam_scatter_reduce`): camera-direction reductions
+# stream the POINT-sorted arrays and scatter-accumulate into a persistent
+# (ncams, d_out) VMEM accumulator across the sequential grid — no
+# camera-sorted W/JR copies, no (8, n) operand pre-gather.  The per-chunk
+# one-hot contraction costs O(ncams * C * d_out) MXU FLOPs, so the mode
+# is gated to moderate camera counts.  Off by default until measured on
+# TPU (enable with BA_CAM_SCATTER=1).
+CAM_SCATTER = _os.environ.get("BA_CAM_SCATTER", "0") == "1"
+CAM_SCATTER_MAX_CAMS = int(_os.environ.get("BA_CAM_SCATTER_MAX", 4096))
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -494,6 +510,164 @@ def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
         out_shape=jax.ShapeDtypeStruct((nseg, d_out), out_dtype),
         interpret=interpret,
     )(bounds, *args)
+
+
+# ---------------------------------------------------------------------------
+# Camera-scatter reduce: camera-direction reductions WITHOUT camera-sorted
+# copies.  Streams the point-sorted arrays (the native layout) over point
+# tiles; per-row products reduce into a persistent (ncams, d_out) VMEM
+# accumulator via a camera one-hot contraction.  TPU grid steps run
+# sequentially on one core, so the out block (constant index map) lives in
+# VMEM across all tiles and is flushed to HBM once at the end — the
+# standard Pallas accumulation pattern.  Per-point operands (the Schur
+# matvec's diagonally-solved t, Hpp_inv g_p, dp, packed Hpp_inv) arrive as
+# (8, P) blocks pipelined per tile: with point-sorted rows, a tile's rows
+# reference ONLY the tile's points, so the operand never needs an (8, n)
+# per-row gather.  Boundary rows of the C-aligned window that belong to
+# neighboring tiles are masked by the exact [start, end) row range (each
+# row is processed by exactly one tile).
+# ---------------------------------------------------------------------------
+
+def _cam_scatter_kernel(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref,
+                        out_ref, x1_s, cam_s, idx_s, sems, *,
+                        C, P, r1, n1, d_out, prod, has_op):
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    seg_base = t * P
+    lo0 = (start // C) * C
+    nchunks = pl.cdiv(end - lo0, jnp.int32(C))
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    copies = [
+        (lambda j: x1_ref.at[pl.ds(r1, n1), pl.ds(lo0 + j * C, C)], x1_s),
+        (lambda j: cam_ref.at[:, pl.ds(lo0 + j * C, C)], cam_s),
+    ]
+    if has_op:
+        copies.append(
+            (lambda j: idx_ref.at[:, pl.ds(lo0 + j * C, C)], idx_s))
+
+    @pl.when(nchunks > 0)
+    def _():
+        _dma_start(copies, 0, 0, sems)
+
+    ncams = out_ref.shape[0]
+
+    def body(j, _):
+        slot = jax.lax.rem(j, jnp.int32(2))
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            _dma_start(copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
+
+        _dma_wait(copies, j, slot, sems)
+        x1 = x1_s[slot].astype(jnp.float32)
+        # Exact-range row mask (boundary rows belong to adjacent tiles).
+        rowid = (lo0 + j * C
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1))
+        valid = (rowid >= start) & (rowid < end)
+        camm = jnp.where(valid, cam_s[slot], -1)            # (1, C)
+        if has_op:
+            local = idx_s[slot] - seg_base                  # (1, C)
+            oh_pc = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                     == local).astype(jnp.float32)          # (P, C)
+            op_ex = _dot(op_ref[:].astype(jnp.float32), oh_pc,
+                         ((1,), (0,)))                      # (8, C)
+            rows_t = prod(x1, op_ex)                        # (d_out, C)
+        else:
+            rows_t = prod(x1, None)
+        oh_cam = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                  == camm).astype(jnp.float32)              # (ncams, C)
+        out_ref[:] += _dot(oh_cam, rows_t, ((1,), (1,)))    # (ncams, d_out)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
+                       idx_row=None, op_t=None, x1_rows=None, P=None,
+                       interpret=None):
+    """Dispatch :func:`_cam_scatter_kernel` -> (ncams, d_out) f32.
+
+    ``x1_t``: k-minor point-sorted array (W_t or JR_t); ``cam_row``: camera
+    id per row in the SAME point-sorted order (= problem.cam_idx);
+    ``bounds``: point-tile row bounds (`tile_bounds(pnt_starts, npnts, P)`);
+    ``op_t``: optional per-POINT (8, npnts) k-minor operand + ``idx_row``
+    the point id per row.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    n_pad = x1_t.shape[1]
+    C = _chunk_rows(n_pad)
+    P = P or SEG_TILE
+    r1, n1 = x1_rows or (0, x1_t.shape[0])
+    ntiles = bounds.shape[0] - 1
+    has_op = op_t is not None
+    if has_op:
+        wpad = ntiles * P - op_t.shape[1]
+        if wpad > 0:
+            op_t = jnp.pad(op_t, ((0, 0), (0, wpad)))
+
+    kern = functools.partial(_cam_scatter_kernel, C=C, P=P, r1=r1, n1=n1,
+                             d_out=d_out, prod=prod, has_op=has_op)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec, any_spec]
+    args = [cam_row.reshape(1, n_pad).astype(jnp.int32), x1_t]
+    if has_op:
+        in_specs += [any_spec, pl.BlockSpec((8, P), lambda t, b: (0, t))]
+        args += [idx_row.reshape(1, n_pad).astype(jnp.int32), op_t]
+
+    def kernel(bounds_ref, *refs):
+        it = iter(refs)
+        cam_ref, x1_ref = next(it), next(it)
+        idx_ref = next(it) if has_op else None
+        op_ref = next(it) if has_op else None
+        out_ref = next(it)
+        x1_s, cam_s, idx_s, sems = it
+        kern(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref, out_ref,
+             x1_s, cam_s, idx_s, sems)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ncams, d_out), lambda t, b: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, n1, C), x1_t.dtype),
+            pltpu.VMEM((2, 1, C), jnp.int32),
+            pltpu.VMEM((2, 1, C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ncams, d_out), jnp.float32),
+        interpret=interpret,
+    )(bounds, *args)
+
+
+def _prod_w_op(w, op):
+    """Per-row ``W_k @ op[:3]`` -> 9 rows (a) from k-minor ``w``
+    (row 3a+b) and a (8, C) 3-vector operand."""
+    out = None
+    for b in range(3):
+        pw = _iota01((9, w.shape[0]), lambda r, b=b: 3 * r + b,
+                     lambda c: c)
+        term = _dot(pw, w, ((1,), (0,))) * op[b:b + 1, :]
+        out = term if out is None else out + term
+    return out
+
+
+def cam_scatter_ok(s, ncams: int) -> bool:
+    """Is the camera-scatter mode applicable?  Needs the flag, point-
+    sorted rows, and a moderate camera count (the one-hot contraction
+    costs O(ncams * C * d_out) MXU FLOPs per chunk)."""
+    return (CAM_SCATTER and ncams <= CAM_SCATTER_MAX_CAMS
+            and s.pnt_starts is not None and s.pnt_perm is None)
 
 
 def _sym6(b: int, c):

@@ -94,6 +94,11 @@ def _use_pallas(sys: "SchurSystem") -> bool:
     return pallas_schur.PALLAS_MODE and pallas_schur.available(sys)
 
 
+def _cam_scatter(s, ncams: int) -> bool:
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    return pallas_schur.cam_scatter_ok(s, ncams)
+
+
 def _seg_pnt(sys: "SchurSystem", values: jnp.ndarray) -> jnp.ndarray:
     from bundleadjustment_jl_tpu.ops import segsum
     if segsum.SORTED_MODE and sys.pnt_starts is not None:
@@ -134,20 +139,38 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     tmp = m33_dot(sys.Hpp_inv_f, blocks.g_p)                 # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
+        ncams = sys.Hcc_l.shape[0]
         if sys.W_t is None:
             W_t = pallas_schur.to_k_minor(blocks.W_f)
-            sys = sys._replace(W_t=W_t, W_cam_t=W_t[:, sys.cam_perm])
+            sys = sys._replace(W_t=W_t)
+            if not pallas_schur.cam_scatter_ok(sys, ncams):
+                sys = sys._replace(W_cam_t=W_t[:, sys.cam_perm])
         # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
         tmp8 = pallas_schur.pad_rows(tmp.T, 8)
-        corr = spmdctx.psum(pallas_schur.wt_cam_reduce(
-            sys.W_cam_t, tmp8[:, sys.pnt_idx[sys.cam_perm]],
-            sys.cam_idx[sys.cam_perm], sys.cam_starts,
-            sys.Hcc_l.shape[0]))
+        corr = spmdctx.psum(_cam_dir_reduce(sys, tmp8).astype(tmp.dtype))
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
     tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
                        problem.pnt_perm)
     corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp_obs))
     return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
+
+
+def _cam_dir_reduce(sys: SchurSystem, op8: jnp.ndarray) -> jnp.ndarray:
+    """Fused ``segsum_cam(W_k op[pnt_k])`` -> (ncams, 9), choosing
+    between the camera-scatter kernel (point-sorted stream, no
+    camera-sorted W copy, no (8, n) operand gather) and the camera-
+    sorted pass.  ``op8``: k-minor (8, npnts) per-point 3-vectors."""
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    ncams = sys.Hcc_l.shape[0]
+    npnts = sys.Hpp_inv.shape[0]
+    if pallas_schur.cam_scatter_ok(sys, ncams):
+        bounds = pallas_schur.tile_bounds(sys.pnt_starts, npnts)
+        return pallas_schur.cam_scatter_reduce(
+            sys.W_t, sys.cam_idx, bounds, ncams, d_out=9,
+            prod=pallas_schur._prod_w_op, idx_row=sys.pnt_idx, op_t=op8)
+    return pallas_schur.wt_cam_reduce(
+        sys.W_cam_t, op8[:, sys.pnt_idx[sys.cam_perm]],
+        sys.cam_idx[sys.cam_perm], sys.cam_starts, ncams)
 
 
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
@@ -156,18 +179,16 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
                    precision=jax.lax.Precision.HIGHEST)
     if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        # One fused pass per direction, one lane gather between them:
-        # the point pass streams W and folds the point-diagonal solve
-        # in-kernel, so t8 = Hpp_inv segsum_pnt(W'v) emerges k-minor
-        # (8, npnts) already diagonally solved (in f32, even when W is
-        # stored bf16 — the fold never touches the low-precision array).
+        # One fused pass per direction, one per-point handoff between
+        # them: the point pass streams W and folds the point-diagonal
+        # solve in-kernel, so t8 = Hpp_inv segsum_pnt(W'v) emerges
+        # k-minor (8, npnts) already diagonally solved (in f32, even
+        # when W is stored bf16 — the fold never touches the
+        # low-precision array).
         t8 = pallas_schur.wtv_point_reduce(
             sys.W_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
             sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f, out_k8=True)
-        u2 = spmdctx.psum(pallas_schur.wt_cam_reduce(
-            sys.W_cam_t, t8[:, sys.pnt_idx[sys.cam_perm]],
-            sys.cam_idx[sys.cam_perm], sys.cam_starts,
-            sys.Hcc_l.shape[0]))
+        u2 = spmdctx.psum(_cam_dir_reduce(sys, t8).astype(u.dtype))
         return u - u2
     # W' v, accumulated per point
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(v, sys.cam_idx)))
@@ -189,17 +210,30 @@ def schur_diag_blocks(sys: SchurSystem,
     """
     from bundleadjustment_jl_tpu.ops.normal import auto_chunk
     ncams = sys.Hcc_l.shape[0]
-    if _use_pallas(sys) and sys.W_cam_t is not None:
+    if (_use_pallas(sys)
+            and (sys.W_cam_t is not None
+                 or (sys.W_t is not None and _cam_scatter(sys, ncams)))):
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        # ONE streaming pass over camera-sorted W + packed-symmetric
-        # Hpp_inv: the per-observation W C W' product and its per-camera
-        # reduction happen in VMEM/MXU — no (n, 81) materialization, no
-        # scatter (the measured co-dominant per-iteration cost).
-        c6 = pallas_schur.hpp_inv_sym6_t(sys.Hpp_inv_f,
-                                         sys.pnt_idx[sys.cam_perm])
-        wcw = spmdctx.psum(pallas_schur.wcw_cam_reduce(
-            sys.W_cam_t, c6, sys.cam_idx[sys.cam_perm], sys.cam_starts,
-            ncams))
+        # ONE streaming pass over W + packed-symmetric Hpp_inv: the
+        # per-observation W C W' product and its per-camera reduction
+        # happen in VMEM/MXU — no (n, 81) materialization, no scatter
+        # (the measured co-dominant per-iteration cost).
+        if _cam_scatter(sys, ncams):
+            # point-sorted stream; Hpp_inv rides as a per-POINT operand
+            h6 = sys.Hpp_inv_f.reshape(-1, 9)[
+                :, jnp.array([0, 1, 2, 4, 5, 8])]
+            bounds = pallas_schur.tile_bounds(sys.pnt_starts,
+                                              sys.Hpp_inv.shape[0])
+            wcw = spmdctx.psum(pallas_schur.cam_scatter_reduce(
+                sys.W_t, sys.cam_idx, bounds, ncams, d_out=81,
+                prod=pallas_schur._prod_wcw, idx_row=sys.pnt_idx,
+                op_t=pallas_schur.pad_rows(h6.T, 8)))
+        else:
+            c6 = pallas_schur.hpp_inv_sym6_t(sys.Hpp_inv_f,
+                                             sys.pnt_idx[sys.cam_perm])
+            wcw = spmdctx.psum(pallas_schur.wcw_cam_reduce(
+                sys.W_cam_t, c6, sys.cam_idx[sys.cam_perm],
+                sys.cam_starts, ncams))
         return sys.Hcc_l - wcw.reshape(-1, 9, 9).astype(sys.Hcc_l.dtype)
     # NB: size//27, not sys.W.shape[0] — the property reshape of the flat W
     # carry to (n, 9, 3) survives into the TPU while-body HLO even unused,
@@ -280,14 +314,24 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
     from bundleadjustment_jl_tpu.ops import pallas_schur
     if pallas_schur.PALLAS_MODE and blocks.W_t is not None:
         # cross = sum_c dc[c] . segsum_cam(W_k dp[pnt_k]) — one fused pass
-        # over the carried camera-sorted W (W_f is absent on this path).
+        # over the carried W (W_f is absent on this path).
         dp8 = pallas_schur.pad_rows(dp.T, 8)
-        cross_cam = pallas_schur.wt_cam_reduce(
-            blocks.W_cam_t,
-            dp8[:, problem.pnt_idx[problem.cam_perm]],
-            problem.cam_idx[problem.cam_perm], problem.cam_starts,
-            problem.ncams)
-        return t_c + 2.0 * spmdctx.psum(jnp.sum(cross_cam * dc)) + t_p
+        if _cam_scatter(problem, problem.ncams):
+            bounds = pallas_schur.tile_bounds(problem.pnt_starts,
+                                              problem.npnts)
+            cross_cam = pallas_schur.cam_scatter_reduce(
+                blocks.W_t, problem.cam_idx, bounds, problem.ncams,
+                d_out=9, prod=pallas_schur._prod_w_op,
+                idx_row=problem.pnt_idx, op_t=dp8)
+        else:
+            cross_cam = pallas_schur.wt_cam_reduce(
+                blocks.W_cam_t,
+                dp8[:, problem.pnt_idx[problem.cam_perm]],
+                problem.cam_idx[problem.cam_perm], problem.cam_starts,
+                problem.ncams)
+        return t_c + 2.0 * spmdctx.psum(
+            jnp.sum(cross_cam * dc.astype(cross_cam.dtype))
+            .astype(t_c.dtype)) + t_p
     dp_obs = take_pnt(dp, problem.pnt_idx, problem.pnt_starts,
                       problem.pnt_perm)
     cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)

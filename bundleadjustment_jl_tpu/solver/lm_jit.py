@@ -71,7 +71,7 @@ STATUS_NAMES = {
 _STATIC = ("max_iters", "pcg_max_iters", "use_dense", "use_cgls",
            "use_power", "linesearch", "ls_max", "lam0_mode",
            "use_forcing", "facto_dtype", "pcg_warm", "gather_mode",
-           "sorted_mode", "pallas_mode")
+           "sorted_mode", "pallas_mode", "cam_scatter")
 
 
 class LMJitResult(NamedTuple):
@@ -171,18 +171,21 @@ def _maybe_cast_facto(blocks, facto_dtype):
         return blocks
     fd = jnp.dtype(facto_dtype)
     if blocks.W_t is not None:
-        return blocks._replace(W_t=blocks.W_t.astype(fd),
-                               W_cam_t=blocks.W_cam_t.astype(fd))
+        return blocks._replace(
+            W_t=blocks.W_t.astype(fd),
+            W_cam_t=(None if blocks.W_cam_t is None
+                     else blocks.W_cam_t.astype(fd)))
     return blocks._replace(W_f=blocks.W_f.astype(fd))
 
 
 def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
              ls_max, lam0_mode, use_forcing, facto_dtype,
-             pcg_warm, gather_mode, sorted_mode, pallas_mode):
+             pcg_warm, gather_mode, sorted_mode, pallas_mode,
+             cam_scatter=False):
     """Initial linearization + solver state (one compiled dispatch)."""
     del pcg_max_iters, use_power, linesearch, ls_max
-    del use_forcing, pcg_warm, gather_mode, sorted_mode
+    del use_forcing, pcg_warm, gather_mode, sorted_mode, cam_scatter
     dtype = cams.dtype
     blocks0 = assemble_blocks(
         problem, cams, points, with_jr=use_cgls,
@@ -233,9 +236,9 @@ _lm_init = partial(jax.jit, static_argnames=_STATIC)(_lm_init_impl)
 def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             use_dense, use_cgls, use_power, linesearch, ls_max, lam0_mode,
             use_forcing, facto_dtype, pcg_warm, gather_mode, sorted_mode,
-            pallas_mode):
+            pallas_mode, cam_scatter=False):
     """Run LM iterations until ``status != RUNNING`` or ``it == it_max``."""
-    del lam0_mode, gather_mode, sorted_mode
+    del lam0_mode, gather_mode, sorted_mode, cam_scatter
     dtype = state["cams"].dtype
     kminor = _kminor(problem, dtype, pallas_mode, use_cgls, use_dense)
 
@@ -478,6 +481,7 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
     static["gather_mode"] = gatherfree.MODE
     static["sorted_mode"] = segsum.SORTED_MODE
     static["pallas_mode"] = pallas_schur.PALLAS_MODE
+    static["cam_scatter"] = pallas_schur.CAM_SCATTER
     return cams, points, hp, static
 
 

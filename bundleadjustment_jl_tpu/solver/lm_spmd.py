@@ -84,14 +84,15 @@ def _local_solve(arrs: ShardStack, hp, lam0, *, statics, has_lam0):
         hist_lam=st["hist_lam"], hist_cg=st["hist_cg"])
 
 
-def _state_specs():
+def _state_specs(cam_scatter: bool):
     """PartitionSpec tree for the solver-state dict crossing the
     shard_map boundary (chunked driver): point-space leaves ride the
-    mesh axis on dim 0, everything else is replicated."""
+    mesh axis on dim 0, everything else is replicated.  In camera-
+    scatter mode the assembly never builds ``W_cam_t`` (None leaf)."""
     obs, rep = P(SPMD_AXIS), P()
     blocks = GNBlocks(g_c_f=rep, g_p_f=obs, Hcc_f=rep, Hpp_f=obs,
                       W_f=None, obj=rep, r_f=None, Jc_f=None, Jp_f=None,
-                      W_t=obs, W_cam_t=obs)
+                      W_t=obs, W_cam_t=None if cam_scatter else obs)
     return dict(cams=rep, points=obs, blocks=blocks, obj=rep, gnorm=rep,
                 lam=rep, it=rep, it_max=rep, gtol=rep, nrejects=rep,
                 naccepts=rep, dc=rep, nu=rep, status=rep,
@@ -120,7 +121,7 @@ def _get_chunked_fns(mesh, statics, has_lam0):
         return fns
     obs, rep = P(SPMD_AXIS), P()
     in_arr_specs = ShardStack(rep, *([obs] * (len(ShardStack._fields) - 1)))
-    st_specs = _state_specs()
+    st_specs = _state_specs(statics.get("cam_scatter", False))
 
     def init_body(arrs, hp, lam0):
         lp = _local_problem(arrs)
@@ -216,7 +217,12 @@ def levenberg_marquardt_spmd(
                    pcg_warm=pcg_warm,
                    gather_mode=gatherfree.MODE,
                    sorted_mode=segsum.SORTED_MODE,
-                   pallas_mode=True)
+                   pallas_mode=True,
+                   # resolved for THIS problem: drives the chunked
+                   # driver's W_cam_t spec and keys the jit cache
+                   cam_scatter=(pallas_schur.CAM_SCATTER
+                                and sp.ncams
+                                <= pallas_schur.CAM_SCATTER_MAX_CAMS))
     has_lam0 = lam0 is not None
     lam0_val = jnp.asarray(0.0 if lam0 is None else lam0, dtype)
     fn = _get_fn(mesh, statics, has_lam0)
@@ -283,7 +289,12 @@ def levenberg_marquardt_spmd_chunked(
                    pcg_warm=pcg_warm,
                    gather_mode=gatherfree.MODE,
                    sorted_mode=segsum.SORTED_MODE,
-                   pallas_mode=True)
+                   pallas_mode=True,
+                   # resolved for THIS problem: drives the chunked
+                   # driver's W_cam_t spec and keys the jit cache
+                   cam_scatter=(pallas_schur.CAM_SCATTER
+                                and sp.ncams
+                                <= pallas_schur.CAM_SCATTER_MAX_CAMS))
     arrs = sp.arrays
 
     ckpt_mgr = None

@@ -1,0 +1,156 @@
+"""Camera-scatter reduce kernels (`pallas_schur.cam_scatter_reduce`).
+
+The camera-direction reductions normally stream camera-sorted copies
+(W_cam_t / JR_cam_t) plus an (8, n) pre-gathered operand; the scatter
+mode streams the POINT-sorted arrays and accumulates into a persistent
+(ncams, d_out) VMEM buffer across the sequential grid.  These tests pin
+exact agreement between the two formulations (both are exact 0/1-matmul
+reductions — no tolerance beyond f32 reassociation) and end-to-end
+solver parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundleadjustment_jl_tpu.io.synthetic import synthetic_bal
+from bundleadjustment_jl_tpu.ops import pallas_schur
+from bundleadjustment_jl_tpu.ops.pallas_schur import (
+    cam_scatter_reduce, pad_rows, tile_bounds, to_k_minor)
+
+
+@pytest.fixture
+def prob():
+    p, _ = synthetic_bal(ncams=9, npnts=300, obs_per_pnt=4, seed=11,
+                         dtype=jnp.float32, noise_px=1.0, perturb=2e-2,
+                         pad_obs_to=128 * ((300 * 4 + 127) // 128))
+    return p
+
+
+def _wt_random(prob, seed=0):
+    rng = np.random.default_rng(seed)
+    n = prob.nobs_pad
+    W_f = rng.standard_normal(n * 27).astype(np.float32)
+    W_f[prob.nobs * 27:] = 0.0          # padding rows carry zero blocks
+    return jnp.asarray(W_f), to_k_minor(jnp.asarray(W_f))
+
+
+def test_cam_scatter_w_op_matches_cam_sorted(prob):
+    """d_out=9 per-point-operand product == wt_cam_reduce."""
+    W_f, W_t = _wt_random(prob)
+    rng = np.random.default_rng(1)
+    op = jnp.asarray(rng.standard_normal((prob.npnts, 3)), jnp.float32)
+    op8 = pad_rows(op.T, 8)
+    bounds = tile_bounds(prob.pnt_starts, prob.npnts)
+    got = cam_scatter_reduce(
+        W_t, prob.cam_idx, bounds, prob.ncams, d_out=9,
+        prod=pallas_schur._prod_w_op, idx_row=prob.pnt_idx, op_t=op8,
+        interpret=True)
+    W_cam_t = W_t[:, prob.cam_perm]
+    ref = pallas_schur.wt_cam_reduce(
+        W_cam_t, op8[:, prob.pnt_idx[prob.cam_perm]],
+        prob.cam_idx[prob.cam_perm], prob.cam_starts, prob.ncams,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_cam_scatter_wcw_matches_cam_sorted(prob):
+    """d_out=81 W C W' (Schur diagonal correction) == wcw_cam_reduce."""
+    W_f, W_t = _wt_random(prob, seed=2)
+    rng = np.random.default_rng(3)
+    # SPD-ish random symmetric 3x3 per point
+    A = rng.standard_normal((prob.npnts, 3, 3)).astype(np.float32)
+    C33 = A @ np.swapaxes(A, 1, 2) + 3.0 * np.eye(3, dtype=np.float32)
+    C_f = jnp.asarray(C33.reshape(-1))
+    h6 = C_f.reshape(-1, 9)[:, jnp.array([0, 1, 2, 4, 5, 8])]
+    bounds = tile_bounds(prob.pnt_starts, prob.npnts)
+    got = cam_scatter_reduce(
+        W_t, prob.cam_idx, bounds, prob.ncams, d_out=81,
+        prod=pallas_schur._prod_wcw, idx_row=prob.pnt_idx,
+        op_t=pad_rows(h6.T, 8), interpret=True)
+    W_cam_t = W_t[:, prob.cam_perm]
+    c6 = pallas_schur.hpp_inv_sym6_t(C_f, prob.pnt_idx[prob.cam_perm])
+    ref = pallas_schur.wcw_cam_reduce(
+        W_cam_t, c6, prob.cam_idx[prob.cam_perm], prob.cam_starts,
+        prob.ncams, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_cam_scatter_jtj_matches_cam_sorted(prob):
+    """d_out=90 assembly reduce (no operand) == jtj_cam_reduce."""
+    from bundleadjustment_jl_tpu.ops import pallas_linearize
+    cxw = pallas_linearize.pack_operands(
+        prob.cams, prob.points, prob.cam_idx, prob.pnt_idx, prob.pt2d,
+        prob.w)
+    JR_t, _ = pallas_linearize.linearize_w_kminor(cxw, interpret=True)
+    bounds = tile_bounds(prob.pnt_starts, prob.npnts)
+    got = cam_scatter_reduce(
+        JR_t, prob.cam_idx, bounds, prob.ncams, d_out=90,
+        prod=pallas_schur._prod_cam90, interpret=True)
+    ref = pallas_schur.jtj_cam_reduce(
+        JR_t[:, prob.cam_perm], prob.cam_idx[prob.cam_perm],
+        prob.cam_starts, prob.ncams, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_spmd_parity_cam_scatter():
+    """Chunked spmd driver with CAM_SCATTER on (W_cam_t never built; the
+    None leaf crosses the shard_map boundary) matches the flag-off solve."""
+    from jax.sharding import Mesh
+
+    from bundleadjustment_jl_tpu.parallel.spmd import shard_problem_kminor
+    from bundleadjustment_jl_tpu.solver.lm_spmd import (
+        levenberg_marquardt_spmd_chunked)
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.asarray(devs[:4]), ("obs",))
+    prob, _ = synthetic_bal(ncams=11, npnts=400, obs_per_pnt=4, seed=3,
+                            dtype=jnp.float32, perturb=2e-2, noise_px=1.0)
+    opts = dict(max_iters=12, pcg_max_iters=60, lam0_mode="diag",
+                chunk_iters=4)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+           pallas_schur.CAM_SCATTER)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        sp = shard_problem_kminor(prob, 4, mesh=mesh)
+        pallas_schur.CAM_SCATTER = False
+        ref = levenberg_marquardt_spmd_chunked(sp, mesh, **opts)
+        pallas_schur.CAM_SCATTER = True
+        got = levenberg_marquardt_spmd_chunked(sp, mesh, **opts)
+    finally:
+        (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+         pallas_schur.CAM_SCATTER) = old
+    assert int(got.iterations) == int(ref.iterations)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-5 * max(1.0, robj)
+
+
+def test_solver_parity_cam_scatter():
+    """Full jit solve with CAM_SCATTER on == off (identical iteration
+    count; objective to f32 reassociation)."""
+    from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
+    prob, _ = synthetic_bal(ncams=8, npnts=256, obs_per_pnt=4, seed=5,
+                            dtype=jnp.float32, noise_px=1.0, perturb=2e-2,
+                            pad_obs_to=1024)
+    opts = dict(max_iters=15, pcg_max_iters=60, lam0_mode="diag")
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+           pallas_schur.CAM_SCATTER)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        pallas_schur.CAM_SCATTER = False
+        ref = levenberg_marquardt_jit(prob, **opts)
+        pallas_schur.CAM_SCATTER = True
+        got = levenberg_marquardt_jit(prob, **opts)
+    finally:
+        (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+         pallas_schur.CAM_SCATTER) = old
+    assert int(got.iterations) == int(ref.iterations)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-5 * max(1.0, robj)
