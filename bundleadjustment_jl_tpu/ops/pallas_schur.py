@@ -650,6 +650,199 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
     )(bounds, *args)
 
 
+# Fused single-stream matvec (camera-scatter mode): VMEM cache slots for
+# a tile's W chunks.  Typical BAL tiles (P=512 points x ~5 obs/pnt) span
+# ~5-6 chunks at C=512; chunks beyond the cache re-stream from HBM in
+# the apply loop (graceful overflow, no fallback dispatch).
+MV_CACHE_CHUNKS = int(_os.environ.get("BA_MV_CACHE_CHUNKS", 8))
+
+
+def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
+                       hpp_ref, out_ref, w_s, id_s, acc_t, sems, *,
+                       C, P):
+    """One point tile of the FUSED ``segsum_cam(W_k (Hpp_inv
+    segsum_pnt(W' v))[pnt_k])``: loop A streams the tile's rows once
+    (caching chunks in VMEM), computing ``t`` for the tile's points;
+    after the in-register Hpp_inv fold, loop B applies ``W t`` from the
+    cache (re-streaming only overflow chunks) and scatter-accumulates
+    per camera into the persistent out buffer.  W crosses HBM once per
+    matvec for cached tiles — half the 2-pass traffic, no (8, npnts)
+    intermediate.
+
+    Refs: bounds (ntiles+1,) SMEM; cam/pnt ids (1, n) ANY; wt (K_PAD, n)
+    ANY; table (ncams, 9) VMEM (v); hpp (16, P) VMEM block per tile
+    (k-minor Hpp_inv rows 0-8 = entry 3a+b); out (ncams, 9) VMEM
+    persistent.  Scratch: w_s (MV_CACHE_CHUNKS+2, K_PAD, C),
+    id_s (MV_CACHE_CHUNKS+2, 2, C) [row 0 pnt, row 1 cam],
+    acc_t (3, P) f32, sems (MV_CACHE_CHUNKS+2, 2).
+    """
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    seg_base = t * P
+    lo0 = (start // C) * C
+    nchunks = pl.cdiv(end - lo0, jnp.int32(C))
+    MAXCH = w_s.shape[0] - 2
+    ncams = out_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def slot(j):
+        j = jnp.asarray(j, jnp.int32)
+        return jnp.where(j < MAXCH, j, MAXCH + jax.lax.rem(j, jnp.int32(2)))
+
+    def dma(j, s):
+        pltpu.make_async_copy(wt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              w_s.at[s], sems.at[s, 0]).start()
+        pltpu.make_async_copy(pnt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              id_s.at[s, 0:1], sems.at[s, 1]).start()
+        pltpu.make_async_copy(cam_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              id_s.at[s, 1:2], sems.at[s, 2]).start()
+
+    def dma_wait(j, s):
+        pltpu.make_async_copy(wt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              w_s.at[s], sems.at[s, 0]).wait()
+        pltpu.make_async_copy(pnt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              id_s.at[s, 0:1], sems.at[s, 1]).wait()
+        pltpu.make_async_copy(cam_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              id_s.at[s, 1:2], sems.at[s, 2]).wait()
+
+    acc_t[:] = jnp.zeros_like(acc_t)
+
+    # W row 3a+b picks v component a (d_x = 9); reduce rows by b (d_out 3).
+    exp9 = _iota01((K_PAD, 9), lambda r: r // 3, lambda c: c)
+    red3 = _iota01((3, K_PAD), lambda r: r, lambda c: c % 3)
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, slot(0))
+
+    def body_a(j, _):
+        s = slot(j)
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            dma(j + 1, slot(j + 1))
+
+        dma_wait(j, s)
+        wt_c = w_s[s].astype(jnp.float32)
+        cam_c = id_s[s, 1:2]
+        pnt_c = id_s[s, 0:1]
+        oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                == cam_c).astype(jnp.float32)                  # (ncams, C)
+        x_t = _dot(table_ref[:].astype(jnp.float32), oh_v,
+                   ((0,), (0,)))                               # (9, C)
+        prod = wt_c * _dot(exp9, x_t, ((1,), (0,)))            # (K_PAD, C)
+        rows3 = _dot(red3, prod, ((1,), (0,)))                 # (3, C)
+        local = pnt_c - seg_base
+        oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                == local).astype(jnp.float32)                  # (P, C)
+        acc_t[:] += _dot(rows3, oh_p, ((1,), (1,)))            # (3, P)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body_a, 0)
+
+    # t = Hpp_inv @ t, lane-major: rep[3a+b] = t[b]; out3[a] = sum_b
+    # hpp[3a+b] * rep[3a+b].
+    t3 = acc_t[:]
+    rep = _dot(_iota01((9, 3), lambda r: r % 3, lambda c: c), t3,
+               ((1,), (0,)))                                   # (9, P)
+    prod_h = hpp_ref[0:9, :].astype(jnp.float32) * rep
+    t3 = _dot(_iota01((3, 9), lambda r: r, lambda c: c // 3), prod_h,
+              ((1,), (0,)))                                    # (3, P)
+
+    def apply_chunk(j, wt_c, pnt_c, cam_c):
+        rowid = (lo0 + j * C
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1))
+        valid = (rowid >= start) & (rowid < end)
+        camm = jnp.where(valid, cam_c, -1)
+        local = pnt_c - seg_base
+        oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                == local).astype(jnp.float32)
+        op_ex = _dot(t3, oh_p, ((1,), (0,)))                   # (3, C)
+        rows9 = _prod_w_op(wt_c, op_ex)                        # (9, C)
+        oh_c = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                == camm).astype(jnp.float32)
+        out_ref[:] += _dot(oh_c, rows9, ((1,), (1,)))
+
+    ncached = jnp.minimum(nchunks, jnp.int32(MAXCH))
+
+    def body_b1(j, _):
+        apply_chunk(j, w_s[j].astype(jnp.float32), id_s[j, 0:1],
+                    id_s[j, 1:2])
+        return 0
+
+    jax.lax.fori_loop(0, ncached, body_b1, 0)
+
+    @pl.when(nchunks > MAXCH)
+    def _():
+        dma(MAXCH, slot(MAXCH))
+
+        def body_b2(j, _):
+            s = slot(j)
+
+            @pl.when(j + 1 < nchunks)
+            def _():
+                dma(j + 1, slot(j + 1))
+
+            dma_wait(j, s)
+            apply_chunk(j, w_s[s].astype(jnp.float32), id_s[s, 0:1],
+                        id_s[s, 1:2])
+            return 0
+
+        jax.lax.fori_loop(MAXCH, nchunks, body_b2, 0)
+
+
+def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
+                       ncams, npnts, *, interpret=None):
+    """Fused one-stream ``segsum_cam(W (Hpp_inv segsum_pnt(W' v))[pnt])``
+    -> (ncams, 9) f32.  Requires point-sorted rows and the in-VMEM v
+    table (ncams <= GATHER_TABLE_MAX_CAMS is the caller's gate)."""
+    if interpret is None:
+        interpret = INTERPRET
+    n_pad = W_t.shape[1]
+    C = _chunk_rows(n_pad)
+    P = SEG_TILE
+    ntiles = bounds.shape[0] - 1
+    # k-minor Hpp_inv (16, npnts) blocked (16, P) per tile; pad width.
+    hpp16 = pad_rows(hpp_inv_f.reshape(npnts, 9).T, 16)
+    wpad = ntiles * P - npnts
+    if wpad > 0:
+        hpp16 = jnp.pad(hpp16, ((0, 0), (0, wpad)))
+
+    kern = functools.partial(_mv_scatter_kernel, C=C, P=P)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    def kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref, hpp_ref,
+               out_ref, w_s, id_s, acc_t, sems):
+        kern(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref, hpp_ref,
+             out_ref, w_s, id_s, acc_t, sems)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[any_spec, any_spec, any_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((16, P), lambda t, b: (0, t))],
+        out_specs=pl.BlockSpec((ncams, 9), lambda t, b: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, K_PAD, C), W_t.dtype),
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, 2, C), jnp.int32),
+            pltpu.VMEM((3, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((MV_CACHE_CHUNKS + 2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ncams, 9), jnp.float32),
+        interpret=interpret,
+    )(bounds, cam_row.reshape(1, n_pad).astype(jnp.int32),
+      pnt_row.reshape(1, n_pad).astype(jnp.int32), W_t, v, hpp16)
+
+
 def _prod_w_op(w, op):
     """Per-row ``W_k @ op[:3]`` -> 9 rows (a) from k-minor ``w``
     (row 3a+b) and a (8, C) 3-vector operand."""

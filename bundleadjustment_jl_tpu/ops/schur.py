@@ -179,15 +179,27 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
                    precision=jax.lax.Precision.HIGHEST)
     if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
-        # One fused pass per direction, one per-point handoff between
-        # them: the point pass streams W and folds the point-diagonal
-        # solve in-kernel, so t8 = Hpp_inv segsum_pnt(W'v) emerges
-        # k-minor (8, npnts) already diagonally solved (in f32, even
-        # when W is stored bf16 — the fold never touches the
-        # low-precision array).
+        ncams = sys.Hcc_l.shape[0]
+        npnts = sys.Hpp_inv.shape[0]
+        if (_cam_scatter(sys, ncams)
+                and ncams <= pallas_schur.GATHER_TABLE_MAX_CAMS):
+            # FUSED single-stream matvec: t computed per point tile
+            # in-kernel (v gathered from the VMEM table), W chunks
+            # cached in VMEM for the immediate camera-scatter apply —
+            # W crosses HBM once, no (8, npnts) intermediate.
+            bounds = pallas_schur.tile_bounds(sys.pnt_starts, npnts)
+            u2 = spmdctx.psum(pallas_schur.matvec_cam_scatter(
+                sys.W_t, v, sys.cam_idx, sys.pnt_idx, sys.Hpp_inv_f,
+                bounds, ncams, npnts).astype(u.dtype))
+            return u - u2
+        # Two passes, one per-point handoff between them: the point
+        # pass streams W and folds the point-diagonal solve in-kernel,
+        # so t8 = Hpp_inv segsum_pnt(W'v) emerges k-minor (8, npnts)
+        # already diagonally solved (in f32, even when W is stored bf16
+        # — the fold never touches the low-precision array).
         t8 = pallas_schur.wtv_point_reduce(
             sys.W_t, v, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
-            sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f, out_k8=True)
+            npnts, hpp_inv_f=sys.Hpp_inv_f, out_k8=True)
         u2 = spmdctx.psum(_cam_dir_reduce(sys, t8).astype(u.dtype))
         return u - u2
     # W' v, accumulated per point

@@ -97,6 +97,46 @@ def test_cam_scatter_jtj_matches_cam_sorted(prob):
                                rtol=1e-5, atol=1e-3)
 
 
+def test_fused_matvec_matches_two_pass(prob):
+    """Single-stream fused matvec (in-kernel t + cached W apply) ==
+    the two-pass point/camera formulation, including the VMEM-cache
+    overflow path (MV_CACHE_CHUNKS=1 forces re-streaming)."""
+    from bundleadjustment_jl_tpu.ops.normal import inv3x3_damped_flat
+    W_f, W_t = _wt_random(prob, seed=7)
+    rng = np.random.default_rng(8)
+    v = jnp.asarray(rng.standard_normal((prob.ncams, 9)), jnp.float32)
+    Hpp_f = jnp.asarray(
+        rng.standard_normal(prob.npnts * 9), jnp.float32)
+    hpp_inv_f = inv3x3_damped_flat(
+        jnp.abs(Hpp_f) + 1.0, jnp.float32(1.0))
+    bounds = tile_bounds(prob.pnt_starts, prob.npnts)
+
+    t8 = pallas_schur.wtv_point_reduce(
+        W_t, v, prob.pnt_idx, prob.cam_idx, prob.pnt_starts,
+        prob.npnts, hpp_inv_f=hpp_inv_f, out_k8=True, interpret=True)
+    ref = pallas_schur.wt_cam_reduce(
+        W_t[:, prob.cam_perm], t8[:, prob.pnt_idx[prob.cam_perm]],
+        prob.cam_idx[prob.cam_perm], prob.cam_starts, prob.ncams,
+        interpret=True)
+
+    got = pallas_schur.matvec_cam_scatter(
+        W_t, v, prob.cam_idx, prob.pnt_idx, hpp_inv_f, bounds,
+        prob.ncams, prob.npnts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+    old = pallas_schur.MV_CACHE_CHUNKS
+    try:
+        pallas_schur.MV_CACHE_CHUNKS = 1   # force the overflow loop
+        got2 = pallas_schur.matvec_cam_scatter(
+            W_t, v, prob.cam_idx, prob.pnt_idx, hpp_inv_f, bounds,
+            prob.ncams, prob.npnts, interpret=True)
+    finally:
+        pallas_schur.MV_CACHE_CHUNKS = old
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+
 def test_spmd_parity_cam_scatter():
     """Chunked spmd driver with CAM_SCATTER on (W_cam_t never built; the
     None leaf crosses the shard_map boundary) matches the flag-off solve."""
