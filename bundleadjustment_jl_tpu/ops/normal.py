@@ -289,6 +289,33 @@ def _assemble_kminor(problem: BAProblem, cams, points,
     del chunk
     from bundleadjustment_jl_tpu.ops import (
         pallas_linearize, pallas_schur, spmdctx)
+    dt = cams.dtype
+    if (pallas_schur.cam_scatter_ok(problem, problem.ncams)
+            and problem.ncams <= pallas_schur.GATHER_TABLE_MAX_CAMS):
+        # fully-fused single-pass assembly (`ops/pallas_assemble.py`):
+        # the stacked JR array never exists; ~160 B/row of HBM traffic
+        # vs ~640 for the split linearize + reduce pipeline.
+        from bundleadjustment_jl_tpu.ops import pallas_assemble
+        bounds = pallas_schur.tile_bounds(problem.pnt_starts,
+                                          problem.npnts)
+        ntiles = bounds.shape[0] - 1
+        pw = pallas_assemble.pack_pw(problem)
+        C = pallas_schur._chunk_rows(problem.nobs_pad)
+        pts16 = pallas_assemble.pad_points(points, ntiles, C)
+        W_t, outp, out_c, obj = pallas_assemble.assemble_scatter(
+            pw, pts16, cams.astype(jnp.float32), bounds, problem.ncams,
+            problem.npnts)
+        obj = spmdctx.psum(obj[0, 0].astype(dt))
+        out_c = spmdctx.psum(out_c)
+        out_p = outp[:problem.npnts]
+        return GNBlocks(
+            g_c_f=out_c[:, 81:90].astype(dt).reshape(-1),
+            g_p_f=out_p[:, 9:12].astype(dt).reshape(-1),
+            Hcc_f=out_c[:, :81].astype(dt).reshape(-1),
+            Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
+            W_f=None, obj=obj,
+            W_t=W_t.astype(dt),
+            W_cam_t=None)
     cxw = pallas_linearize.pack_operands(
         cams, points, problem.cam_idx, problem.pnt_idx, problem.pt2d,
         problem.w)
@@ -296,7 +323,6 @@ def _assemble_kminor(problem: BAProblem, cams, points,
     # spmd: objective and camera-space blocks sum over the mesh axis
     # (rows are device-local); point-space blocks stay local.
     obj = spmdctx.psum(0.5 * jnp.sum(JR_t[24:26] ** 2))
-    dt = cams.dtype
     if pallas_schur.cam_scatter_ok(problem, problem.ncams):
         # camera-scatter mode: camera-direction reduces stream the
         # point-sorted arrays directly — the camera-sorted JR/W lane

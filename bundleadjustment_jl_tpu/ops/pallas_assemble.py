@@ -1,0 +1,288 @@
+"""Fully-fused Gauss-Newton assembly: ONE streaming pass per linearization.
+
+The kminor assembly path previously ran four HBM passes per accepted LM
+iteration: linearize (read 64 B/row packed operands, write 256 B/row JR +
+128 B/row W), then two reduce kernels re-reading JR (128 + 64 B/row).
+This kernel fuses all of it: it streams only the STATIC per-row problem
+data (one (8, n) pack of pt2d/weight/ids — 32 B/row, built once per
+solve), gathers camera params from an in-VMEM table and point coords from
+a per-tile haloed window, runs the full analytic linearization chain
+(`ops.pallas_linearize.linearize_chain`) in registers, writes the k-minor
+``W`` out (128 B/row — the only large output; the stacked JR array never
+exists), and reduces [Hpp | g_p] per point tile and [Hcc | g_c] into a
+persistent camera-scatter accumulator, plus the objective. ~160 B/row of
+HBM traffic per linearization vs ~640 B/row for the split pipeline.
+
+Camera-scatter companion of `ops/pallas_schur.py` (same tile/bounds
+machinery, same gates: point-sorted rows, ncams small enough for the
+in-VMEM tables).  Correctness subtleties:
+
+- Chunk windows are C-aligned, so boundary chunks are written by TWO
+  adjacent tiles.  The per-tile point window carries a C-point halo on
+  BOTH sides, so every row of every chunk a tile touches finds its point
+  in VMEM — both writers produce identical W values and the double write
+  is benign (grid steps are sequential).
+- Point-reduce rows outside the tile's point range drop out of the local
+  one-hot automatically; the camera scatter and the objective mask to
+  the exact [start, end) row range so each row contributes exactly once.
+- Padding rows carry w = 0 through the chain -> exact zeros everywhere.
+
+Reference role: this pass is the whole of `jac_coord!`'s 2x12 block
+chain (`/root/reference/src/BALNLPModels.jl:161-206`,
+`JacobianByHand.jl:27-101`) PLUS the J'J/J'r assembly the reference
+delegates to sparse matrix machinery (`lm.jl:61-81`, `lma_aux.jl:191-212`)
+— executed at streaming speed in one kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bundleadjustment_jl_tpu.ops.pallas_linearize import linearize_chain
+from bundleadjustment_jl_tpu.ops.pallas_schur import (
+    INTERPRET, K_PAD, SEG_TILE, _chunk_rows)
+
+
+def pack_pw(problem) -> jnp.ndarray:
+    """(8, n_pad) static per-problem stream: rows 0-1 pt2d, 2 weight,
+    3 pnt_id, 4 cam_id (f32-exact: ids < 2^24), 5-7 zero.  Loop-invariant
+    inside the jitted solve — XLA hoists the build out of the LM loop."""
+    n = problem.nobs_pad
+    z = jnp.zeros((1, n), jnp.float32)
+    return jnp.concatenate([
+        problem.pt2d.T.astype(jnp.float32),
+        problem.w.reshape(1, n).astype(jnp.float32),
+        problem.pnt_idx.reshape(1, n).astype(jnp.float32),
+        problem.cam_idx.reshape(1, n).astype(jnp.float32),
+        z, z, z], axis=0)
+
+
+def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
+                     w_out, outp_ref, outc_ref, obj_ref,
+                     pw_s, pts_s, wbuf, acc_p, sems, wsems, psem, *,
+                     C, P, H):
+    """One point tile.  H = points-window size (P + 2C, C-halo).
+
+    Refs: bounds (ntiles+1,) SMEM; pw (8, n) ANY; pts (8, width) ANY
+    (k-minor points, width >= ntiles*P + 2C); cams (ncams, 9) VMEM;
+    w_out (K_PAD, n) ANY output (manual chunk DMA); outp (P, 12) blocked
+    per tile; outc (ncams, 90) persistent; obj (1, 1) persistent.
+    Scratch: pw_s (2, 8, C); pts_s (8, H); wbuf (2, K_PAD, C);
+    acc_p (P, 12) f32; sems (2,) read DMA; wsems (2,) write DMA;
+    psem () points DMA.
+    """
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    seg_base = t * P
+    lo0 = (start // C) * C
+    nchunks = pl.cdiv(end - lo0, jnp.int32(C))
+    ncams = outc_ref.shape[0]
+    width = pts_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+        obj_ref[:] = jnp.zeros_like(obj_ref)
+
+    acc_p[:] = jnp.zeros_like(acc_p)
+
+    # Haloed point window (C points each side, clamped into the padded
+    # array; `halo_lo` is used for both the DMA and local indexing, so
+    # clamping never desynchronizes them).  Offsets stay 128-aligned:
+    # t*P - C is a multiple of 128, and the clamp bounds are 0 / width-H
+    # (width is a multiple of 128 by construction).
+    halo_lo = jnp.clip(seg_base - C, 0, width - H)
+    pts_copy = pltpu.make_async_copy(
+        pts_ref.at[:, pl.ds(halo_lo, H)], pts_s, psem)
+    pts_copy.start()
+
+    def rd(j, s):
+        return pltpu.make_async_copy(
+            pw_ref.at[:, pl.ds(lo0 + j * C, C)], pw_s.at[s], sems.at[s])
+
+    @pl.when(nchunks > 0)
+    def _():
+        rd(0, 0).start()
+
+    pts_copy.wait()
+    pts = pts_s[:].astype(jnp.float32)                       # (8, H)
+
+    def body(j, _):
+        s = jax.lax.rem(jnp.asarray(j, jnp.int32), jnp.int32(2))
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            rd(j + 1, jax.lax.rem(jnp.asarray(j + 1, jnp.int32),
+                                  jnp.int32(2))).start()
+
+        rd(j, s).wait()
+        x = pw_s[s].astype(jnp.float32)                      # (8, C)
+        obs = [x[0:1], x[1:2]]
+        w = x[2:3]
+        pid = x[3:4].astype(jnp.int32)
+        cid = x[4:5].astype(jnp.int32)
+
+        # camera params (9, C) from the VMEM table
+        oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                == cid).astype(jnp.float32)
+        cpar = jax.lax.dot_general(
+            cams_ref[:].astype(jnp.float32), oh_v, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (9, C)
+        # point coords (3, C) from the haloed window
+        lh = pid - halo_lo
+        oh_h = (jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
+                == lh).astype(jnp.float32)
+        X3 = jax.lax.dot_general(
+            pts, oh_h, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (8, C)
+
+        Jc, Jp, res = linearize_chain(
+            [cpar[a:a + 1] for a in range(3)],
+            [cpar[a:a + 1] for a in range(3, 6)],
+            cpar[6:7], cpar[7:8], cpar[8:9],
+            [X3[b:b + 1] for b in range(3)], obs, w)
+
+        # W chunk out (row 3a+b), double-buffered write DMA.
+        zero = jnp.zeros_like(w)
+        w_rows = [Jc[a] * Jp[0][b] + Jc[9 + a] * Jp[1][b]
+                  for a in range(9) for b in range(3)] + [zero] * 5
+        wr = pltpu.make_async_copy(
+            wbuf.at[s], w_out.at[:, pl.ds(lo0 + j * C, C)], wsems.at[s])
+
+        @pl.when(j >= 2)
+        def _():
+            wr.wait()                     # slot free (write j-2 done)
+
+        wbuf[s] = jnp.concatenate(w_rows, axis=0).astype(wbuf.dtype)
+        wr.start()
+
+        # exact-range mask for the cross-tile-unique reductions
+        rowid = (lo0 + j * C
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1))
+        vm = ((rowid >= start) & (rowid < end))
+
+        # [Hpp | g_p] (12, C): local one-hot drops out-of-tile rows.
+        rows12 = [Jp[0][b] * Jp[0][e] + Jp[1][b] * Jp[1][e]
+                  for b in range(3) for e in range(3)]
+        rows12 += [Jp[0][b] * res[0] + Jp[1][b] * res[1] for b in range(3)]
+        local = pid - seg_base
+        oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                == local).astype(jnp.float32)
+        acc_p[:] += jax.lax.dot_general(
+            oh_p, jnp.concatenate(rows12, axis=0),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (P, 12)
+
+        # [Hcc | g_c] (90, C) -> persistent camera scatter (masked ids).
+        rows90 = [Jc[a] * Jc[d] + Jc[9 + a] * Jc[9 + d]
+                  for a in range(9) for d in range(9)]
+        rows90 += [Jc[a] * res[0] + Jc[9 + a] * res[1] for a in range(9)]
+        camm = jnp.where(vm, cid, -1)
+        oh_c = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                == camm).astype(jnp.float32)
+        outc_ref[:] += jax.lax.dot_general(
+            oh_c, jnp.concatenate(rows90, axis=0),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (ncams, 90)
+
+        # objective (weighted residuals; masked to this tile's rows)
+        vmf = vm.astype(jnp.float32)
+        obj_ref[:] += 0.5 * jnp.sum(vmf * (res[0] * res[0]
+                                           + res[1] * res[1]))
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    # drain the last (up to 2) W writes before the next tile reuses wbuf
+    def drain(s):
+        j = nchunks - 1 - s
+        pltpu.make_async_copy(
+            wbuf.at[jax.lax.rem(j, jnp.int32(2))],
+            w_out.at[:, pl.ds(lo0 + j * C, C)],
+            wsems.at[jax.lax.rem(j, jnp.int32(2))]).wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        drain(0)
+
+    @pl.when(nchunks > 1)
+    def _():
+        drain(1)
+
+    outp_ref[:] = acc_p[:]
+
+
+def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
+                     out_dtype=jnp.float32, interpret=None):
+    """Fused linearize + assemble -> (W_t (K_PAD, n) ``out_dtype``,
+    outp (ntiles*P, 12) f32, outc (ncams, 90) f32, obj (1, 1) f32).
+
+    ``pw``: :func:`pack_pw` stream; ``pts16``: k-minor (8, width) point
+    coords, width a multiple of 128 and >= ntiles*P + 2C (use
+    :func:`pad_points`); ``cams``: (ncams, 9) table; ``bounds``:
+    `tile_bounds(pnt_starts, npnts)`.
+    """
+    if interpret is None:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        interpret = pallas_schur.INTERPRET
+    n_pad = pw.shape[1]
+    C = _chunk_rows(n_pad)
+    P = SEG_TILE
+    H = P + 2 * C
+    ntiles = bounds.shape[0] - 1
+    assert pts16.shape[1] >= ntiles * P + 2 * C, (
+        f"points width {pts16.shape[1]} < {ntiles * P + 2 * C}")
+
+    kern = functools.partial(_assemble_kernel, C=C, P=P, H=H)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[any_spec, any_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[any_spec,
+                   pl.BlockSpec((P, 12), lambda t, b: (t, 0)),
+                   pl.BlockSpec((ncams, 90), lambda t, b: (0, 0)),
+                   pl.BlockSpec((1, 1), lambda t, b: (0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, C), jnp.float32),
+            pltpu.VMEM((8, H), pts16.dtype),
+            pltpu.VMEM((2, K_PAD, C), out_dtype),
+            pltpu.VMEM((P, 12), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((K_PAD, n_pad), out_dtype),
+                   jax.ShapeDtypeStruct((ntiles * P, 12), jnp.float32),
+                   jax.ShapeDtypeStruct((ncams, 90), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(bounds, pw, pts16, cams)
+
+
+def pad_points(points, ntiles: int, C: int | None = None) -> jnp.ndarray:
+    """(npnts, 3) -> k-minor (8, width) zero-padded for the halo windows
+    (width = ntiles*P + 2C rounded up to a multiple of 128)."""
+    from bundleadjustment_jl_tpu.ops.pallas_schur import (
+        CHUNK_ROWS, pad_rows)
+    P = SEG_TILE
+    C = C or CHUNK_ROWS
+    width = ntiles * P + 2 * C
+    width = ((width + 127) // 128) * 128
+    pts = pad_rows(points.T.astype(jnp.float32), 8)
+    return jnp.pad(pts, ((0, 0), (0, width - pts.shape[1])))

@@ -60,19 +60,16 @@ def _cross(a, b):
             a[0] * b[1] - a[1] * b[0])
 
 
-def _linearize_kernel(x_ref, jr_ref, w_ref):
-    """One (16, C) block -> JR (32, C), W (32, C). All (1, C) lane math."""
-    x = x_ref[:].astype(jnp.float32)
+def linearize_chain(r, t, k1, k2, f, X, obs, w):
+    """The full analytic linearization chain on (1, C) lane vectors.
 
-    def row(i):
-        return x[i:i + 1, :]
-
-    r = [row(0), row(1), row(2)]
-    t = [row(3), row(4), row(5)]
-    k1, k2, f = row(6), row(7), row(8)
-    X = [row(9), row(10), row(11)]
-    obs = [row(12), row(13)]
-    w = row(14)
+    Inputs: camera params ``r`` (Rodrigues 3-list), ``t`` (translation
+    3-list), ``k1/k2/f``, point ``X`` (3-list), observed pixel ``obs``
+    (2-list), weight ``w``.  Returns ``(Jc, Jp, res)``: Jc 18 rows
+    (9 i + a), Jp as ``Jp[i][b]`` nested lists, res 2 rows — all
+    weighted, zeroed at z == 0 and on padding rows (w = 0).  Shared by
+    the standalone linearize kernel and the fused assembly kernel
+    (`ops/pallas_assemble.py`)."""
 
     one = jnp.ones_like(w)
     eye = lambda a, b: one if a == b else jnp.zeros_like(w)  # noqa: E731
@@ -167,13 +164,28 @@ def _linearize_kernel(x_ref, jr_ref, w_ref):
            for b in range(3)] for i in range(2)]
     res = [(proj[i] - obs[i]) * valid for i in range(2)]
 
-    zero = jnp.zeros_like(w)
-    jr_rows = []
+    Jc = []
     for i in range(2):     # Jc rows 9 i + a: [Jr | BA (=d/dt) | J_dist]
-        jr_rows += [Jr[i][b] for b in range(3)]
-        jr_rows += [BA[i][b] * valid for b in range(3)]
-        jr_rows += [J_dist[i][b] * valid for b in range(3)]
-    Jc = list(jr_rows)     # 18 rows, row 9 i + a
+        Jc += [Jr[i][b] for b in range(3)]
+        Jc += [BA[i][b] * valid for b in range(3)]
+        Jc += [J_dist[i][b] * valid for b in range(3)]
+    return Jc, Jp, res
+
+
+def _linearize_kernel(x_ref, jr_ref, w_ref):
+    """One (16, C) block -> JR (32, C), W (32, C). All (1, C) lane math."""
+    x = x_ref[:].astype(jnp.float32)
+
+    def row(i):
+        return x[i:i + 1, :]
+
+    Jc, Jp, res = linearize_chain(
+        [row(0), row(1), row(2)], [row(3), row(4), row(5)],
+        row(6), row(7), row(8), [row(9), row(10), row(11)],
+        [row(12), row(13)], row(14))
+
+    zero = jnp.zeros_like(res[0])
+    jr_rows = list(Jc)     # 18 rows, row 9 i + a
     for i in range(2):     # Jp rows 18 + 3 i + b
         jr_rows += [Jp[i][b] for b in range(3)]
     jr_rows += res         # rows 24-25

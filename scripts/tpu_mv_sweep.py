@@ -86,6 +86,18 @@ def main(ncams=356, npnts=226730, obs_per_pnt=6):
     timed("jtj_pnt_reduce", pnt12, jnp.float32(0.0), (JR_t, problem),
           nbytes=16 * f32 * n)
 
+    # whole-assembly timing (in scatter mode this is the fused one-pass
+    # mega-kernel; otherwise linearize + 2 reduce passes + permutes)
+    def asm(c, p, cams, pts):
+        b = assemble_blocks(p, cams, pts, with_jr=False, kminor=True)
+        return c + b.obj * 1e-30
+
+    scatter = pallas_schur.CAM_SCATTER and ncams <= 1024
+    asm_bytes = (8 + 32) * f32 * n if scatter else (16 + 64 + 48) * f32 * n
+    timed("assemble_kminor", asm, jnp.float32(0.0),
+          (problem, problem.cams * (1 + 1e-12), problem.points),
+          nbytes=asm_bytes, n_hi=8)
+
     dma_probe(n)
 
 

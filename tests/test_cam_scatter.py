@@ -137,6 +137,35 @@ def test_fused_matvec_matches_two_pass(prob):
                                rtol=1e-5, atol=1e-3)
 
 
+def test_fused_assembly_matches_split(prob):
+    """The single-pass fused assembly (`pallas_assemble.assemble_scatter`)
+    reproduces the split linearize+reduce pipeline exactly: same blocks,
+    same W, same objective."""
+    from bundleadjustment_jl_tpu.ops.normal import assemble_blocks
+
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+           pallas_schur.CAM_SCATTER)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        pallas_schur.CAM_SCATTER = False
+        ref = assemble_blocks(prob, with_jr=False, kminor=True)
+        pallas_schur.CAM_SCATTER = True
+        got = assemble_blocks(prob, with_jr=False, kminor=True)
+    finally:
+        (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+         pallas_schur.CAM_SCATTER) = old
+    assert got.W_cam_t is None
+    np.testing.assert_allclose(float(got.obj), float(ref.obj),
+                               rtol=1e-6)
+    for name in ("g_c_f", "g_p_f", "Hcc_f", "Hpp_f", "W_t"):
+        # different summation orders (chunk scatter vs camera-sorted
+        # tiles) -> pure f32 reassociation noise
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-4, atol=1e-3, err_msg=name)
+
+
 def test_spmd_parity_cam_scatter():
     """Chunked spmd driver with CAM_SCATTER on (W_cam_t never built; the
     None leaf crosses the shard_map boundary) matches the flag-off solve."""
