@@ -617,7 +617,8 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
     in_specs = [any_spec, any_spec]
     args = [cam_row.reshape(1, n_pad).astype(jnp.int32), x1_t]
     if has_op:
-        in_specs += [any_spec, pl.BlockSpec((8, P), lambda t, b: (0, t))]
+        in_specs += [any_spec, pl.BlockSpec((op_t.shape[0], P),
+                                            lambda t, b: (0, t))]
         args += [idx_row.reshape(1, n_pad).astype(jnp.int32), op_t]
 
     def kernel(bounds_ref, *refs):
@@ -658,8 +659,8 @@ MV_CACHE_CHUNKS = int(_os.environ.get("BA_MV_CACHE_CHUNKS", 8))
 
 
 def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
-                       hpp_ref, out_ref, w_s, id_s, acc_t, sems, *,
-                       C, P):
+                       hpp_ref, out_ref, dp_ref, w_s, id_s, acc_t, sems, *,
+                       C, P, sign):
     """One point tile of the FUSED ``segsum_cam(W_k (Hpp_inv
     segsum_pnt(W' v))[pnt_k])``: loop A streams the tile's rows once
     (caching chunks in VMEM), computing ``t`` for the tile's points;
@@ -744,14 +745,19 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
 
     jax.lax.fori_loop(0, nchunks, body_a, 0)
 
-    # t = Hpp_inv @ t, lane-major: rep[3a+b] = t[b]; out3[a] = sum_b
-    # hpp[3a+b] * rep[3a+b].
-    t3 = acc_t[:]
+    # t = sign * Hpp_inv @ (t + g_p), lane-major: rep[3a+b] = t[b];
+    # out3[a] = sum_b hpp[3a+b] * rep[3a+b].  hpp rows 9-11 carry g_p
+    # (zero for the plain matvec) — with sign = -1 this IS the
+    # back-substitution dp = -Hpp_inv (g_p + W' dc).
+    t3 = acc_t[:] + hpp_ref[9:12, :].astype(jnp.float32)
     rep = _dot(_iota01((9, 3), lambda r: r % 3, lambda c: c), t3,
                ((1,), (0,)))                                   # (9, P)
     prod_h = hpp_ref[0:9, :].astype(jnp.float32) * rep
-    t3 = _dot(_iota01((3, 9), lambda r: r, lambda c: c // 3), prod_h,
-              ((1,), (0,)))                                    # (3, P)
+    t3 = sign * _dot(_iota01((3, 9), lambda r: r, lambda c: c // 3),
+                     prod_h, ((1,), (0,)))                     # (3, P)
+    # per-tile dp output (k-minor, rows 0-2; zero-padded to 8 sublanes)
+    dp_ref[:] = _dot(_iota01((8, 3), lambda r: r, lambda c: c), t3,
+                     ((1,), (0,))).astype(dp_ref.dtype)
 
     def apply_chunk(j, wt_c, pnt_c, cam_c):
         rowid = (lo0 + j * C
@@ -796,9 +802,15 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
 
 
 def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
-                       ncams, npnts, *, interpret=None):
-    """Fused one-stream ``segsum_cam(W (Hpp_inv segsum_pnt(W' v))[pnt])``
-    -> (ncams, 9) f32.  Requires point-sorted rows and the in-VMEM v
+                       ncams, npnts, *, gp_f=None, sign=1.0,
+                       with_dp=False, interpret=None):
+    """Fused one-stream ``segsum_cam(W (sign * Hpp_inv (segsum_pnt(W' v)
+    + g_p))[pnt])`` -> (ncams, 9) f32 [, dp (8, ntiles*P) k-minor].
+
+    ``gp_f=None, sign=1``: the Schur matvec's W-coupling term.
+    ``gp_f=g_p, sign=-1, with_dp=True``: back-substitution + the
+    quad-form cross reduction in the same single W stream (the per-tile
+    ``t`` IS ``dp``).  Requires point-sorted rows and the in-VMEM v
     table (ncams <= GATHER_TABLE_MAX_CAMS is the caller's gate)."""
     if interpret is None:
         interpret = INTERPRET
@@ -806,19 +818,24 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
     C = _chunk_rows(n_pad)
     P = SEG_TILE
     ntiles = bounds.shape[0] - 1
-    # k-minor Hpp_inv (16, npnts) blocked (16, P) per tile; pad width.
+    # k-minor (16, width) blocked (16, P) per tile: rows 0-8 Hpp_inv,
+    # rows 9-11 g_p (zero when absent).
     hpp16 = pad_rows(hpp_inv_f.reshape(npnts, 9).T, 16)
+    if gp_f is not None:
+        hpp16 = hpp16.at[9:12].set(
+            gp_f.reshape(npnts, 3).T.astype(hpp16.dtype))
     wpad = ntiles * P - npnts
     if wpad > 0:
         hpp16 = jnp.pad(hpp16, ((0, 0), (0, wpad)))
 
-    kern = functools.partial(_mv_scatter_kernel, C=C, P=P)
+    kern = functools.partial(_mv_scatter_kernel, C=C, P=P,
+                             sign=float(sign))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     def kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref, hpp_ref,
-               out_ref, w_s, id_s, acc_t, sems):
+               out_ref, dp_ref, w_s, id_s, acc_t, sems):
         kern(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref, hpp_ref,
-             out_ref, w_s, id_s, acc_t, sems)
+             out_ref, dp_ref, w_s, id_s, acc_t, sems)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -826,7 +843,8 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
         in_specs=[any_spec, any_spec, any_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((16, P), lambda t, b: (0, t))],
-        out_specs=pl.BlockSpec((ncams, 9), lambda t, b: (0, 0)),
+        out_specs=[pl.BlockSpec((ncams, 9), lambda t, b: (0, 0)),
+                   pl.BlockSpec((8, P), lambda t, b: (0, t))],
         scratch_shapes=[
             pltpu.VMEM((MV_CACHE_CHUNKS + 2, K_PAD, C), W_t.dtype),
             pltpu.VMEM((MV_CACHE_CHUNKS + 2, 2, C), jnp.int32),
@@ -834,13 +852,15 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
             pltpu.SemaphoreType.DMA((MV_CACHE_CHUNKS + 2, 3)),
         ],
     )
-    return pl.pallas_call(
+    out, dp8 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ncams, 9), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((ncams, 9), jnp.float32),
+                   jax.ShapeDtypeStruct((8, ntiles * P), jnp.float32)],
         interpret=interpret,
     )(bounds, cam_row.reshape(1, n_pad).astype(jnp.int32),
       pnt_row.reshape(1, n_pad).astype(jnp.int32), W_t, v, hpp16)
+    return (out, dp8) if with_dp else out
 
 
 def _prod_w_op(w, op):
@@ -853,6 +873,15 @@ def _prod_w_op(w, op):
         term = _dot(pw, w, ((1,), (0,))) * op[b:b + 1, :]
         out = term if out is None else out + term
     return out
+
+
+def _prod_wcw_rhs(w, op):
+    """Combined per-row [W C W' (81); W t (9)] from k-minor ``w`` and a
+    (16, C) per-point operand: rows 0-5 packed-symmetric C (= damped
+    Hpp_inv), rows 6-8 ``t`` (= Hpp_inv g_p).  One W stream serves both
+    the exact Schur diagonal and the reduced-RHS correction."""
+    return jnp.concatenate([_prod_wcw(w, op[0:8]),
+                            _prod_w_op(w, op[6:9])], axis=0)
 
 
 def cam_scatter_ok(s, ncams: int) -> bool:

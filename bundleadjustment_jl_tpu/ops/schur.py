@@ -173,6 +173,76 @@ def _cam_dir_reduce(sys: SchurSystem, op8: jnp.ndarray) -> jnp.ndarray:
         sys.cam_idx[sys.cam_perm], sys.cam_starts, ncams)
 
 
+def reduce_and_diag(problem: BAProblem, blocks: GNBlocks, lam):
+    """(SchurSystem, exact S diagonal 9x9 blocks) for the PCG branch.
+
+    On the fused camera-scatter path the reduced RHS correction and the
+    ``W Hpp_inv W'`` diagonal come out of ONE W stream (d_out = 90
+    combined product); elsewhere this is exactly
+    ``reduce_system(...)`` + ``schur_diag_blocks(...)``."""
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    ncams = blocks.Hcc.shape[0]
+    if (pallas_schur.PALLAS_MODE and blocks.W_t is not None
+            and _cam_scatter(problem, ncams)):
+        dt = blocks.g_c_f.dtype
+        Hcc_l = damp(blocks.Hcc, lam)
+        Hpp_inv_f = inv3x3_damped_flat(blocks.Hpp_f, lam)
+        tmp = m33_dot(Hpp_inv_f, blocks.g_p)                 # (npnts, 3)
+        h6 = Hpp_inv_f.reshape(-1, 9)[:, jnp.array([0, 1, 2, 4, 5, 8])]
+        npnts = h6.shape[0]
+        op16 = pallas_schur.pad_rows(
+            jnp.concatenate([h6.T, tmp.T], axis=0).astype(jnp.float32),
+            16)
+        bounds = pallas_schur.tile_bounds(problem.pnt_starts, npnts)
+        out = spmdctx.psum(pallas_schur.cam_scatter_reduce(
+            blocks.W_t, problem.cam_idx, bounds, ncams, d_out=90,
+            prod=pallas_schur._prod_wcw_rhs, idx_row=problem.pnt_idx,
+            op_t=op16))
+        sys = SchurSystem(
+            Hcc_l_f=Hcc_l.reshape(-1), Hpp_inv_f=Hpp_inv_f,
+            W_f=blocks.W_f,
+            b_f=(-blocks.g_c + out[:, 81:90].astype(dt)).reshape(-1),
+            g_p_f=blocks.g_p_f, cam_idx=problem.cam_idx,
+            pnt_idx=problem.pnt_idx, pnt_starts=problem.pnt_starts,
+            cam_perm=problem.cam_perm, cam_starts=problem.cam_starts,
+            pnt_perm=problem.pnt_perm,
+            W_t=blocks.W_t, W_cam_t=blocks.W_cam_t)
+        Sd = Hcc_l - out[:, :81].reshape(-1, 9, 9).astype(Hcc_l.dtype)
+        return sys, Sd
+    sys = reduce_system(problem, blocks, lam)
+    return sys, schur_diag_blocks(sys)
+
+
+def back_substitute_quad(problem: BAProblem, blocks: GNBlocks,
+                         sys: SchurSystem, dc: jnp.ndarray):
+    """(dp, ||J d||^2) — on the fused scatter path the back-substitution
+    and the quad-form cross reduction share ONE W stream (the fused
+    matvec kernel with g_p folded and sign = -1: its per-tile ``t`` IS
+    ``dp``, and its camera output is ``segsum_cam(W dp)``)."""
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    ncams = sys.Hcc_l.shape[0]
+    npnts = sys.Hpp_inv.shape[0]
+    if (_use_pallas(sys) and sys.W_t is not None
+            and _cam_scatter(sys, ncams)
+            and ncams <= pallas_schur.GATHER_TABLE_MAX_CAMS):
+        bounds = pallas_schur.tile_bounds(sys.pnt_starts, npnts)
+        cross_cam, dp8 = pallas_schur.matvec_cam_scatter(
+            sys.W_t, dc, sys.cam_idx, sys.pnt_idx, sys.Hpp_inv_f,
+            bounds, ncams, npnts, gp_f=sys.g_p_f, sign=-1.0,
+            with_dp=True)
+        dp = dp8[:3, :npnts].T.astype(dc.dtype)              # (npnts, 3)
+        t_c = jnp.sum(dc * jnp.einsum(
+            "cab,cb->ca", blocks.Hcc, dc,
+            precision=jax.lax.Precision.HIGHEST))
+        t_p = spmdctx.psum(jnp.sum(dp * m33_dot(blocks.Hpp_f, dp)))
+        cross = spmdctx.psum(
+            jnp.sum(cross_cam * dc.astype(cross_cam.dtype))
+            .astype(t_c.dtype))
+        return dp, t_c + 2.0 * cross + t_p
+    dp = back_substitute(sys, dc)
+    return dp, quad_form(problem, blocks, dc, dp)
+
+
 def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
     """Matrix-free ``S @ v`` for ``v`` of shape (ncams, 9)."""
     u = jnp.einsum("cab,cb->ca", sys.Hcc_l, v,

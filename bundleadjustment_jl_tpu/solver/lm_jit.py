@@ -41,8 +41,8 @@ from bundleadjustment_jl_tpu.ops.pcg import (
 from bundleadjustment_jl_tpu.ops import spmdctx
 from bundleadjustment_jl_tpu.ops.residuals import residuals
 from bundleadjustment_jl_tpu.ops.schur import (
-    back_substitute, quad_form, reduce_system, schur_diag_blocks,
-    schur_matvec, solve_dense)
+    back_substitute, back_substitute_quad, quad_form, reduce_and_diag,
+    reduce_system, schur_diag_blocks, schur_matvec, solve_dense)
 
 # Status codes (mapping of the reference's statuses, `lm.jl:391-405`)
 RUNNING = 0
@@ -285,15 +285,17 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
                 lambda v: block_cho_solve(L_M, v),
                 rtol=rtol_cg, max_terms=pcg_max_iters)
             dc, cg_iters = pres.x, pres.iters
-            dp = back_substitute(sys, dc)
+            dp, Jd2_nc = back_substitute_quad(problem, blocks, sys, dc)
         elif use_dense:
             sys = reduce_system(problem, blocks, lam_f)
             dc = solve_dense(sys)
-            dp = back_substitute(sys, dc)
+            dp, Jd2_nc = back_substitute_quad(problem, blocks, sys, dc)
             cg_iters = jnp.asarray(0, jnp.int32)
         else:
-            sys = reduce_system(problem, blocks, lam_f)
-            L = block_cholesky(schur_diag_blocks(sys))
+            # reduced RHS + exact S diagonal (fused to one W stream on
+            # the camera-scatter path)
+            sys, Sd = reduce_and_diag(problem, blocks, lam_f)
+            L = block_cholesky(Sd)
             # Warm start from the previous LM iteration's camera step (the
             # reduced system changes only through lambda and the accepted
             # re-linearization) — saves CG matvecs late in the solve.
@@ -303,7 +305,8 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
                       lambda v: block_cho_solve(L, v),
                       rtol=rtol_cg, max_iters=pcg_max_iters, x0=x0)
             dc, cg_iters = res.x, res.iters
-            dp = back_substitute(sys, dc)
+            # back-substitution + quad-form cross term share one W stream
+            dp, Jd2_nc = back_substitute_quad(problem, blocks, sys, dc)
         dc = dc.astype(dtype)
         dp = dp.astype(dtype)
 
@@ -315,7 +318,7 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
                   + jp_dot(blocks.Jp_f, dp[problem.pnt_idx]))
             Jd2 = jnp.sum(Jd * Jd)
         else:
-            Jd2 = quad_form(problem, blocks, dc, dp).astype(dtype)
+            Jd2 = Jd2_nc.astype(dtype)
         dnorm = jnp.sqrt(jnp.sum(dc * dc)
                          + spmdctx.psum(jnp.sum(dp * dp)))
         xnorm = jnp.sqrt(jnp.sum(cams ** 2)

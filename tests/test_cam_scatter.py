@@ -166,6 +166,45 @@ def test_fused_assembly_matches_split(prob):
             rtol=1e-4, atol=1e-3, err_msg=name)
 
 
+def test_reduce_and_diag_and_backsub_quad(prob):
+    """The one-stream fusions (diag+RHS; back-substitution+quad cross)
+    match their two-kernel scatter-mode formulations."""
+    from bundleadjustment_jl_tpu.ops.normal import assemble_blocks
+    from bundleadjustment_jl_tpu.ops.schur import (
+        back_substitute, back_substitute_quad, quad_form, reduce_and_diag,
+        reduce_system, schur_diag_blocks)
+
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+           pallas_schur.CAM_SCATTER)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        pallas_schur.CAM_SCATTER = True
+        blocks = assemble_blocks(prob, with_jr=False, kminor=True)
+        lam = jnp.float32(5.0)
+        sys1, Sd1 = reduce_and_diag(prob, blocks, lam)
+        sys2 = reduce_system(prob, blocks, lam)
+        Sd2 = schur_diag_blocks(sys2)
+        np.testing.assert_allclose(np.asarray(sys1.b_f),
+                                   np.asarray(sys2.b_f),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Sd1), np.asarray(Sd2),
+                                   rtol=1e-4, atol=1e-3)
+
+        rng = np.random.default_rng(4)
+        dc = jnp.asarray(rng.standard_normal((prob.ncams, 9)) * 1e-2,
+                         jnp.float32)
+        dp1, Jd2_1 = back_substitute_quad(prob, blocks, sys1, dc)
+        dp2 = back_substitute(sys2, dc)
+        Jd2_2 = quad_form(prob, blocks, dc, dp2)
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp2),
+                                   rtol=1e-4, atol=1e-5)
+        assert float(Jd2_1) == pytest.approx(float(Jd2_2), rel=1e-4)
+    finally:
+        (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+         pallas_schur.CAM_SCATTER) = old
+
+
 def test_spmd_parity_cam_scatter():
     """Chunked spmd driver with CAM_SCATTER on (W_cam_t never built; the
     None leaf crosses the shard_map boundary) matches the flag-off solve."""
