@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bundleadjustment_jl_tpu.ops.pallas_linearize import linearize_chain
+from bundleadjustment_jl_tpu.ops.pallas_linearize import (
+    linearize_chain, project_chain)
 from bundleadjustment_jl_tpu.ops.pallas_schur import (
     INTERPRET, K_PAD, SEG_TILE, _chunk_rows)
 
@@ -273,6 +274,124 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)],
         interpret=interpret,
     )(bounds, pw, pts16, cams)
+
+
+def _obj_kernel(pofs_ref, pw_ref, pts_ref, cams_ref, out_ref, pts_s,
+                psem, *, C, S, WLOC):
+    """One C-row column block: trial objectives for S scale candidates.
+
+    ``pofs``: per-block 128-aligned point-window offsets (scalar
+    prefetch); ``pw``: blocked (8, C) static pack; ``pts``: (S*8, width)
+    stacked k-minor trial points (rows 8 s + d), windowed by manual DMA;
+    ``cams``: (S, ncams, 9) trial camera tables in VMEM;
+    out (1, 128): objective per scale in columns 0..S-1 (accumulated
+    across the sequential grid).  Flat column blocks partition the rows
+    exactly, so no masking is needed (padding rows carry w = 0)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    pofs = pofs_ref[j]
+    cp = pltpu.make_async_copy(
+        pts_ref.at[:, pl.ds(pofs, WLOC)], pts_s, psem)
+    cp.start()
+
+    x = pw_ref[:].astype(jnp.float32)
+    obs = [x[0:1], x[1:2]]
+    w = x[2:3]
+    pid = x[3:4].astype(jnp.int32)
+    cid = x[4:5].astype(jnp.int32)
+    ncams = cams_ref.shape[1]
+    oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+            == cid).astype(jnp.float32)
+    lh = pid - pofs
+    oh_h = (jax.lax.broadcasted_iota(jnp.int32, (WLOC, C), 0)
+            == lh).astype(jnp.float32)
+    cp.wait()
+    pts = pts_s[:].astype(jnp.float32)                       # (S*8, WLOC)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    acc = jnp.zeros((1, 128), jnp.float32)
+    for s in range(S):
+        cpar = jax.lax.dot_general(
+            cams_ref[s].astype(jnp.float32), oh_v,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (9, C)
+        X3 = jax.lax.dot_general(
+            pts[8 * s:8 * s + 3], oh_h, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (3, C)
+        res = project_chain(
+            [cpar[a:a + 1] for a in range(3)],
+            [cpar[a:a + 1] for a in range(3, 6)],
+            cpar[6:7], cpar[7:8], cpar[8:9],
+            [X3[b:b + 1] for b in range(3)], obs, w)
+        val = 0.5 * jnp.sum(res[0] * res[0] + res[1] * res[1])
+        acc = acc + jnp.where(col == s, val, 0.0)
+    out_ref[:] += acc
+
+
+def objective_scatter(pw, pts_all, cams_all, pofs, *, interpret=None):
+    """Fused trial objectives -> (S,) f32: ONE pass over the 32 B/row
+    static pack evaluates the forward projection residual for every
+    linesearch scale (vs S vmapped gather+project passes in XLA).
+
+    ``pts_all``: (S*8, width) stacked k-minor trial points; ``cams_all``:
+    (S, ncams, 9) trial cameras; ``pofs``: (nblocks,) int32 aligned
+    point-window offsets (<= width - WLOC)."""
+    if interpret is None:
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        interpret = pallas_schur.INTERPRET
+    n_pad = pw.shape[1]
+    C = _chunk_rows(n_pad)
+    S = cams_all.shape[0]
+    WLOC = C + 256
+    nblocks = n_pad // C
+
+    kern = functools.partial(_obj_kernel, C=C, S=S, WLOC=WLOC)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((8, C), lambda j, p: (0, j)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128), lambda j, p: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((8 * S, WLOC), pts_all.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=interpret,
+    )(pofs, pw, pts_all, cams_all)
+    return out[0, :S]
+
+
+def trial_point_offsets(pnt_idx, nobs_pad: int, width: int,
+                        C: int | None = None) -> jnp.ndarray:
+    """(nblocks,) 128-aligned per-block point-window offsets for
+    :func:`objective_scatter` (rows are point-sorted, so block j's
+    points start at ``pnt_idx[j C]``)."""
+    C = C or _chunk_rows(nobs_pad)
+    WLOC = C + 256
+    p0 = pnt_idx[::C].astype(jnp.int32)
+    return jnp.clip((p0 // 128) * 128, 0, width - WLOC)
+
+
+def stack_trial_points(points, dp, scales, width: int) -> jnp.ndarray:
+    """(npnts, 3) + per-scale steps -> (S*8, width) stacked k-minor
+    trial points (rows 8 s + d)."""
+    S = scales.shape[0]
+    trial = (points[None] + scales[:, None, None] * dp[None])   # (S,n,3)
+    kt = jnp.swapaxes(trial, 1, 2).astype(jnp.float32)          # (S,3,n)
+    kt = jnp.pad(kt, ((0, 0), (0, 5), (0, width - kt.shape[2])))
+    return kt.reshape(S * 8, width)
 
 
 def pad_points(points, ntiles: int, C: int | None = None) -> jnp.ndarray:

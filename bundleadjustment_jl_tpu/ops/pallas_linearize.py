@@ -60,6 +60,37 @@ def _cross(a, b):
             a[0] * b[1] - a[1] * b[0])
 
 
+def project_chain(r, t, k1, k2, f, X, obs, w):
+    """Forward-only projection residual on (1, C) lane vectors — the
+    same math as :func:`linearize_chain` without the Jacobian stages
+    (serves the fused trial-objective kernel).  Returns ``res`` (2-list
+    of weighted residual rows; zeroed at z == 0 and w == 0)."""
+    th2 = r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+    safe = th2 > _SMALL_THETA_SQ
+    th = jnp.sqrt(jnp.where(safe, th2, 1.0))
+    inv_th = 1.0 / th
+    k = [r[0] * inv_th, r[1] * inv_th, r[2] * inv_th]
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    one_c = 1.0 - c
+    kxX = _cross(k, X)
+    kdX = k[0] * X[0] + k[1] * X[1] + k[2] * X[2]
+    RX_big = [c * X[a] + s * kxX[a] + one_c * kdX * k[a] for a in range(3)]
+    rxX = _cross(r, X)
+    rxrxX = _cross(r, rxX)
+    RX_small = [X[a] + rxX[a] + 0.5 * rxrxX[a] for a in range(3)]
+    RX = [jnp.where(safe, RX_big[a], RX_small[a]) for a in range(3)]
+    p1 = [RX[a] + t[a] for a in range(3)]
+    z = p1[2]
+    z_ok = z != 0.0
+    inv_z = 1.0 / jnp.where(z_ok, z, 1.0)
+    p2 = [-p1[0] * inv_z, -p1[1] * inv_z]
+    n2 = p2[0] * p2[0] + p2[1] * p2[1]
+    frho = f * (1.0 + k1 * n2 + k2 * n2 * n2)
+    valid = jnp.where(z_ok, w, jnp.zeros_like(w))
+    return [(frho * p2[i] - obs[i]) * valid for i in range(2)]
+
+
 def linearize_chain(r, t, k1, k2, f, X, obs, w):
     """The full analytic linearization chain on (1, C) lane vectors.
 

@@ -337,10 +337,30 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
 
         # Evaluate all trial scales in one pass; pick the first acceptable
         # (scale 1.0 first, so plain LM when linesearch=False).
-        def trial_obj(s):
-            return _objective(problem, cams + s * dc, points + s * dp)
+        from bundleadjustment_jl_tpu.ops import pallas_schur
+        if (kminor and pallas_schur.cam_scatter_ok(problem, problem.ncams)
+                and problem.ncams <= pallas_schur.GATHER_TABLE_MAX_CAMS):
+            # fused streaming objectives: one 32 B/row pass evaluates
+            # every scale (vs S vmapped gather+project passes)
+            from bundleadjustment_jl_tpu.ops import pallas_assemble
+            C_blk = pallas_schur._chunk_rows(problem.nobs_pad)
+            WLOC = C_blk + 256
+            width = -(-(problem.npnts + WLOC) // 128) * 128
+            pw = pallas_assemble.pack_pw(problem)
+            cams_all = (cams[None]
+                        + scales[:, None, None] * dc[None]).astype(
+                            jnp.float32)
+            pts_all = pallas_assemble.stack_trial_points(
+                points, dp, scales, width)
+            pofs = pallas_assemble.trial_point_offsets(
+                problem.pnt_idx, problem.nobs_pad, width, C_blk)
+            objs_t = spmdctx.psum(pallas_assemble.objective_scatter(
+                pw, pts_all, cams_all, pofs)).astype(dtype)
+        else:
+            def trial_obj(s):
+                return _objective(problem, cams + s * dc, points + s * dp)
 
-        objs_t = jax.vmap(trial_obj)(scales)
+            objs_t = jax.vmap(trial_obj)(scales)
         preds = -scales * gd - 0.5 * scales * scales * Jd2
         areds = obj - objs_t
         ok = jnp.logical_and(

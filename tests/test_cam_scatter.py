@@ -205,6 +205,36 @@ def test_reduce_and_diag_and_backsub_quad(prob):
          pallas_schur.CAM_SCATTER) = old
 
 
+def test_objective_scatter_matches_residuals(prob):
+    """Fused streaming trial objectives == direct residual objectives
+    for every linesearch scale."""
+    from bundleadjustment_jl_tpu.ops import pallas_assemble
+    from bundleadjustment_jl_tpu.ops.pallas_schur import _chunk_rows
+    from bundleadjustment_jl_tpu.ops.residuals import residuals
+
+    rng = np.random.default_rng(9)
+    dc = jnp.asarray(rng.standard_normal((prob.ncams, 9)) * 1e-2,
+                     jnp.float32)
+    dp = jnp.asarray(rng.standard_normal((prob.npnts, 3)) * 1e-2,
+                     jnp.float32)
+    scales = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+    C = _chunk_rows(prob.nobs_pad)
+    width = -(-(prob.npnts + C + 256) // 128) * 128
+    pw = pallas_assemble.pack_pw(prob)
+    cams_all = prob.cams[None] + scales[:, None, None] * dc[None]
+    pts_all = pallas_assemble.stack_trial_points(
+        prob.points, dp, scales, width)
+    pofs = pallas_assemble.trial_point_offsets(
+        prob.pnt_idx, prob.nobs_pad, width, C)
+    got = pallas_assemble.objective_scatter(pw, pts_all, cams_all, pofs,
+                                            interpret=True)
+    for s in range(3):
+        r = residuals(prob, prob.cams + scales[s] * dc,
+                      prob.points + scales[s] * dp)
+        ref = 0.5 * float(jnp.sum(r * r))
+        assert float(got[s]) == pytest.approx(ref, rel=1e-5), s
+
+
 def test_spmd_parity_cam_scatter():
     """Chunked spmd driver with CAM_SCATTER on (W_cam_t never built; the
     None leaf crosses the shard_map boundary) matches the flag-off solve."""
@@ -239,14 +269,17 @@ def test_spmd_parity_cam_scatter():
     assert abs(float(got.objective) - robj) <= 1e-5 * max(1.0, robj)
 
 
-def test_solver_parity_cam_scatter():
+@pytest.mark.parametrize("linesearch", [False, True])
+def test_solver_parity_cam_scatter(linesearch):
     """Full jit solve with CAM_SCATTER on == off (identical iteration
-    count; objective to f32 reassociation)."""
+    count; objective to f32 reassociation).  The linesearch variant
+    exercises the multi-scale fused trial objectives."""
     from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
     prob, _ = synthetic_bal(ncams=8, npnts=256, obs_per_pnt=4, seed=5,
                             dtype=jnp.float32, noise_px=1.0, perturb=2e-2,
                             pad_obs_to=1024)
-    opts = dict(max_iters=15, pcg_max_iters=60, lam0_mode="diag")
+    opts = dict(max_iters=15, pcg_max_iters=60, lam0_mode="diag",
+                linesearch=linesearch)
     old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
            pallas_schur.CAM_SCATTER)
     try:
