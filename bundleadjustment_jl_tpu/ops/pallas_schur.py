@@ -115,8 +115,10 @@ K_PAD = 32
 
 # In-kernel camera one-hot gather costs O(ncams*C) MXU FLOPs per chunk;
 # past this camera count an XLA pre-gather of v (64 B/row of padded
-# 9-vector traffic) is cheaper than the one-hot contraction.
-GATHER_TABLE_MAX_CAMS = 1024
+# 9-vector traffic) is cheaper than the one-hot contraction.  Env-
+# overridable: Venice-class problems sit at 1350-1778 cameras, just
+# above the default — sweep BA_GATHER_MAX on hardware.
+GATHER_TABLE_MAX_CAMS = int(_os.environ.get("BA_GATHER_MAX", 1024))
 
 # Camera-scatter mode (`cam_scatter_reduce`): camera-direction reductions
 # stream the POINT-sorted arrays and scatter-accumulate into a persistent
