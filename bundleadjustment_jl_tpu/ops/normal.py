@@ -147,7 +147,8 @@ def auto_chunk(n: int, threshold: int = 1 << 18) -> int | None:
 def assemble_blocks(problem: BAProblem, cams=None, points=None,
                     chunk: int | str | None = "auto",
                     with_jr: bool = True,
-                    kminor: bool = False) -> GNBlocks:
+                    kminor: bool = False,
+                    w_dtype=None) -> GNBlocks:
     """Linearize at (cams, points) and assemble all Gauss-Newton blocks.
 
     One fused pass: residuals, Jacobian blocks, gradients and Hessian blocks.
@@ -176,7 +177,8 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         chunk = auto_chunk(n)
     if kminor:
         assert not with_jr, "kminor assembly is the with_jr=False hot path"
-        return _assemble_kminor(problem, cams, points, chunk)
+        return _assemble_kminor(problem, cams, points, chunk,
+                                w_dtype=w_dtype)
     from bundleadjustment_jl_tpu.ops.blockmul import (
         jcT_dot, jjT_outer, jpT_dot)
     if chunk is None or n <= chunk:
@@ -268,7 +270,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
 
 
 def _assemble_kminor(problem: BAProblem, cams, points,
-                     chunk: int | None) -> GNBlocks:
+                     chunk: int | None, w_dtype=None) -> GNBlocks:
     """Fused-kernel assembly: linearize into a stacked k-minor array and
     reduce with the Pallas segment-product kernels (no scatter anywhere).
 
@@ -304,7 +306,7 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         pts16 = pallas_assemble.pad_points(points, ntiles, C)
         W_t, outp, out_c, obj = pallas_assemble.assemble_scatter(
             pw, pts16, cams.astype(jnp.float32), bounds, problem.ncams,
-            problem.npnts)
+            problem.npnts, out_dtype=jnp.dtype(w_dtype or dt))
         obj = spmdctx.psum(obj[0, 0].astype(dt))
         out_c = spmdctx.psum(out_c)
         out_p = outp[:problem.npnts]
@@ -314,7 +316,7 @@ def _assemble_kminor(problem: BAProblem, cams, points,
             Hcc_f=out_c[:, :81].astype(dt).reshape(-1),
             Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
             W_f=None, obj=obj,
-            W_t=W_t.astype(dt),
+            W_t=W_t if w_dtype else W_t.astype(dt),
             W_cam_t=None)
     cxw = pallas_linearize.pack_operands(
         cams, points, problem.cam_idx, problem.pnt_idx, problem.pt2d,
@@ -349,8 +351,10 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         Hcc_f=out_c[:, :81].astype(dt).reshape(-1),
         Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
         W_f=None, obj=obj,
-        W_t=W_t.astype(dt),
-        W_cam_t=W_cam_t)
+        W_t=W_t.astype(jnp.dtype(w_dtype) if w_dtype else dt),
+        W_cam_t=(None if W_cam_t is None
+                 else W_cam_t.astype(jnp.dtype(w_dtype))
+                 if w_dtype else W_cam_t))
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

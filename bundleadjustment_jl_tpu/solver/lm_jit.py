@@ -187,9 +187,10 @@ def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
     del pcg_max_iters, use_power, linesearch, ls_max
     del use_forcing, pcg_warm, gather_mode, sorted_mode, cam_scatter
     dtype = cams.dtype
+    kminor0 = _kminor(problem, dtype, pallas_mode, use_cgls, use_dense)
     blocks0 = assemble_blocks(
-        problem, cams, points, with_jr=use_cgls,
-        kminor=_kminor(problem, dtype, pallas_mode, use_cgls, use_dense))
+        problem, cams, points, with_jr=use_cgls, kminor=kminor0,
+        w_dtype=facto_dtype if kminor0 else None)
     obj0 = blocks0.obj
     gnorm0 = gradient_norm(blocks0)
     blocks0 = _maybe_cast_facto(blocks0, facto_dtype)
@@ -248,7 +249,8 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         # (nobs, 26) r/Jc/Jp arrays never hit HBM. CGLS iterates on J
         # directly and is the one solver that still needs them.
         blocks = assemble_blocks(problem, c, p, with_jr=use_cgls,
-                                 kminor=kminor)
+                                 kminor=kminor,
+                                 w_dtype=facto_dtype if kminor else None)
         return (_maybe_cast_facto(blocks, facto_dtype), blocks.obj,
                 gradient_norm(blocks))
 
