@@ -24,11 +24,11 @@ from bundleadjustment_jl_tpu.models.problem import BAProblem
 def _cross_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise 3D cross product (np.cross is pathologically slow on some
     numpy builds — 7+ s for 500k rows)."""
-    return np.stack([
-        a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
-        a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
-        a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
-    ], axis=1)
+    out = np.empty_like(a)
+    out[:, 0] = a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1]
+    out[:, 1] = a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2]
+    out[:, 2] = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return out
 
 
 def _project_np(cams: np.ndarray, points: np.ndarray) -> np.ndarray:
@@ -36,7 +36,9 @@ def _project_np(cams: np.ndarray, points: np.ndarray) -> np.ndarray:
     r = cams[:, 0:3]
     t = cams[:, 3:6]
     k1, k2, f = cams[:, 6], cams[:, 7], cams[:, 8]
-    theta = np.linalg.norm(r, axis=1, keepdims=True)
+    # einsum row-norm: np.linalg.norm materializes an extra temp and was
+    # ~4 s at 1.1M rows on this numpy build
+    theta = np.sqrt(np.einsum("ij,ij->i", r, r))[:, None]
     theta = np.maximum(theta, 1e-30)
     k = r / theta
     c = np.cos(theta)
@@ -112,8 +114,15 @@ def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
         cam_rows[ri, 1:] = rng.choice(pool, size=k - 1, replace=False)
     cam_idx = cam_rows.reshape(-1)
 
-    proj = _project_np(cams[cam_idx], points[pnt_idx])
-    pt2d = proj + rng.normal(scale=noise_px, size=proj.shape)
+    # np.take, not fancy indexing: cams[cam_idx] is ~65x slower on this
+    # numpy build (2 s vs 0.03 s for 1.1M rows — same pathology as
+    # np.cross, see _cross_rows)
+    cams_obs = np.take(cams, cam_idx, axis=0)
+    pnts_obs = np.take(points, pnt_idx, axis=0)
+    proj = _project_np(cams_obs, pnts_obs)
+    del cams_obs, pnts_obs
+    noise = rng.normal(scale=noise_px, size=proj.shape)
+    pt2d = proj + noise
 
     # Initial estimate: truth perturbed (relative for f, absolute elsewhere).
     cams0 = cams.copy()
@@ -126,10 +135,12 @@ def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
     problem = BAProblem.from_arrays(cams0, points0, cam_idx, pnt_idx, pt2d,
                                     dtype=dtype, pad_obs_to=pad_obs_to,
                                     name=name)
-    res_truth = _project_np(cams[cam_idx], points[pnt_idx]) - pt2d
+    # residual at the truth is exactly the added noise (proj - pt2d) —
+    # no second projection pass (it dominated generation time at Final
+    # scale: two (nobs, 9) float64 gathers + the full chain again).
     truth = {
         "cams": cams,
         "points": points,
-        "objective": 0.5 * float(np.sum(res_truth ** 2)),
+        "objective": 0.5 * float(np.sum(noise ** 2)),
     }
     return problem, truth

@@ -96,7 +96,10 @@ class BAProblem:
         # exploits for scatter-free reductions. Padding rows carry the max
         # segment ids (zero-weighted, so they sum to nothing).
         order = np.argsort(pnt_idx, kind="stable")
-        cam_idx, pnt_idx, pt2d = cam_idx[order], pnt_idx[order], pt2d[order]
+        # np.take: fancy indexing is ~65x slower on this numpy build
+        cam_idx = np.take(cam_idx, order)
+        pnt_idx = np.take(pnt_idx, order)
+        pt2d = np.take(pt2d, order, axis=0)
 
         npad = _round_up(max(nobs, 1), pad_obs_to)
         w = np.zeros((npad,), dtype=dtype)
@@ -111,7 +114,7 @@ class BAProblem:
         from bundleadjustment_jl_tpu.ops.segsum import make_starts
         pnt_starts = make_starts(pi, npnts, npad)
         cam_perm = np.argsort(ci, kind="stable").astype(np.int32)
-        cam_starts = make_starts(ci[cam_perm], ncams, npad)
+        cam_starts = make_starts(np.take(ci, cam_perm), ncams, npad)
         return cls(jnp.asarray(cams), jnp.asarray(points), jnp.asarray(ci),
                    jnp.asarray(pi), jnp.asarray(xy), jnp.asarray(w),
                    nobs=nobs, name=name,

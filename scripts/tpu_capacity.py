@@ -46,6 +46,33 @@ REF_NOTE = {
 }
 
 
+def _cached_problem(family, ncams, npnts, opp):
+    """Generate-or-load: capacity attempts run one per OS process (crash
+    isolation), so Final-scale generation (~10 min of numpy) is cached
+    as raw arrays on disk across attempts."""
+    import numpy as np
+
+    from bundleadjustment_jl_tpu.models.problem import BAProblem
+    cache = f"Data/synth_cache/{family}-{ncams}-{npnts}-{opp}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return BAProblem.from_arrays(
+            z["cams"], z["points"], z["cam_idx"], z["pnt_idx"], z["pt2d"],
+            dtype=jnp.float32, pad_obs_to=512,
+            name=f"{family}-{ncams}-{npnts}")
+    problem, _ = synthetic_bal(
+        ncams=ncams, npnts=npnts, obs_per_pnt=opp, noise_px=1.0,
+        perturb=2e-2, seed=ncams, dtype=jnp.float32, pad_obs_to=512)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    n = problem.nobs
+    np.savez(cache, cams=np.asarray(problem.cams),
+             points=np.asarray(problem.points),
+             cam_idx=np.asarray(problem.cam_idx[:n]),
+             pnt_idx=np.asarray(problem.pnt_idx[:n]),
+             pt2d=np.asarray(problem.pt2d[:n]))
+    return problem
+
+
 def main(max_nobs=40_000_000, only=None):
     """``only``: run a single RUNS index — one OS process per attempt, so
     a TPU-worker crash on one problem cannot poison the next (the runtime
@@ -64,9 +91,7 @@ def main(max_nobs=40_000_000, only=None):
         if npnts * opp > max_nobs:
             continue
         t0 = time.perf_counter()
-        problem, _ = synthetic_bal(
-            ncams=ncams, npnts=npnts, obs_per_pnt=opp, noise_px=1.0,
-            perturb=2e-2, seed=ncams, dtype=jnp.float32, pad_obs_to=512)
+        problem = _cached_problem(family, ncams, npnts, opp)
         gen_s = time.perf_counter() - t0
         print(f"[capacity] {family}-{ncams}: nobs={problem.nobs} "
               f"gen {gen_s:.0f}s", flush=True)
