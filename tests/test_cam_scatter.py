@@ -205,6 +205,35 @@ def test_reduce_and_diag_and_backsub_quad(prob):
          pallas_schur.CAM_SCATTER) = old
 
 
+def test_solver_parity_mid_gate_regime():
+    """ncams between the gates (scatter reduces ON, in-VMEM camera
+    tables OFF): the d_out=90/81 scatter kernels combine with the
+    pre-gathered two-pass matvec.  Exercised by lowering the table gate
+    below ncams."""
+    from bundleadjustment_jl_tpu.solver.lm_jit import levenberg_marquardt_jit
+    prob, _ = synthetic_bal(ncams=9, npnts=300, obs_per_pnt=4, seed=6,
+                            dtype=jnp.float32, noise_px=1.0, perturb=2e-2,
+                            pad_obs_to=1024)
+    opts = dict(max_iters=12, pcg_max_iters=60, lam0_mode="diag")
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+           pallas_schur.CAM_SCATTER, pallas_schur.GATHER_TABLE_MAX_CAMS)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        pallas_schur.CAM_SCATTER = False
+        ref = levenberg_marquardt_jit(prob, **opts)
+        pallas_schur.CAM_SCATTER = True
+        pallas_schur.GATHER_TABLE_MAX_CAMS = 4   # < ncams: no v tables
+        got = levenberg_marquardt_jit(prob, **opts)
+    finally:
+        (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET,
+         pallas_schur.CAM_SCATTER,
+         pallas_schur.GATHER_TABLE_MAX_CAMS) = old
+    assert int(got.iterations) == int(ref.iterations)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-5 * max(1.0, robj)
+
+
 def test_objective_scatter_matches_residuals(prob):
     """Fused streaming trial objectives == direct residual objectives
     for every linesearch scale."""
