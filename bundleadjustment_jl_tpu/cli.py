@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true",
                    help="enable the fused Pallas kernels "
                         "(ops/pallas_schur.py, ops/pallas_linearize.py)")
+    p.add_argument("--cam-scatter", action="store_true",
+                   help="camera-scatter kernel mode (with --pallas): "
+                        "point-sorted streams + persistent VMEM camera "
+                        "accumulators; one W pass per LM stage "
+                        "(docs/architecture.md; also BA_CAM_SCATTER=1)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host SPMD: the "
                         "mesh spans every process's devices; set the "
@@ -136,6 +141,8 @@ def main(argv=None) -> int:
     if args.pallas or args.driver == "spmd":
         from bundleadjustment_jl_tpu.ops import pallas_schur
         pallas_schur.set_mode(True)
+        if args.cam_scatter:
+            pallas_schur.CAM_SCATTER = True
         if backend != "tpu":
             pallas_schur.INTERPRET = True   # correct, not fast, off-TPU
     mesh = None
