@@ -199,8 +199,9 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
         dp = back_substitute(sys, dc)
         cg_iters = jnp.asarray(0, jnp.int32)
     else:
-        sys = reduce_system(problem, blocks, lam)
-        L = block_cholesky(schur_diag_blocks(sys))
+        from bundleadjustment_jl_tpu.ops.schur import reduce_and_diag
+        sys, Sd = reduce_and_diag(problem, blocks, lam)
+        L = block_cholesky(Sd)
         res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                   lambda v: block_cho_solve(L, v),
                   rtol=pcg_rtol, max_iters=pcg_max_iters, x0=dc0)
