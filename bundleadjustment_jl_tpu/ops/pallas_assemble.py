@@ -97,8 +97,11 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
     # array; `halo_lo` is used for both the DMA and local indexing, so
     # clamping never desynchronizes them).  Offsets stay 128-aligned:
     # t*P - C is a multiple of 128, and the clamp bounds are 0 / width-H
-    # (width is a multiple of 128 by construction).
-    halo_lo = jnp.clip(seg_base - C, 0, width - H)
+    # (width is a multiple of 128 by construction).  Mosaic's divisibility
+    # proof can't see through the clip — assert it with pl.multiple_of
+    # (interpret mode has no such constraint, so CPU tests don't need it,
+    # but the hardware compile fails without it).
+    halo_lo = pl.multiple_of(jnp.clip(seg_base - C, 0, width - H), 128)
     pts_copy = pltpu.make_async_copy(
         pts_ref.at[:, pl.ds(halo_lo, H)], pts_s, psem)
     pts_copy.start()
@@ -293,7 +296,10 @@ def _obj_kernel(pofs_ref, pw_ref, pts_ref, cams_ref, out_ref, pts_s,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    pofs = pofs_ref[j]
+    # pofs values are built 128-aligned (`trial_point_offsets`), but a
+    # scalar-prefetch value is opaque to Mosaic's divisibility proof —
+    # assert the alignment for the dynamic DMA slice.
+    pofs = pl.multiple_of(pofs_ref[j], 128)
     cp = pltpu.make_async_copy(
         pts_ref.at[:, pl.ds(pofs, WLOC)], pts_s, psem)
     cp.start()
