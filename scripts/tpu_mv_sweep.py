@@ -89,7 +89,11 @@ def main(ncams=356, npnts=226730, obs_per_pnt=6):
     # whole-assembly timing (in scatter mode this is the fused one-pass
     # mega-kernel; otherwise linearize + 2 reduce passes + permutes)
     def asm(c, p, cams, pts):
-        b = assemble_blocks(p, cams, pts, with_jr=False, kminor=True)
+        # cams must depend on the carry or XLA hoists the whole assembly
+        # out of the fori_loop (loop-invariant code motion) and the probe
+        # times a single execution.
+        b = assemble_blocks(p, cams * (1 + c * 1e-30), pts,
+                            with_jr=False, kminor=True)
         return c + b.obj * 1e-30
 
     scatter = pallas_schur.CAM_SCATTER and ncams <= 1024
