@@ -61,7 +61,9 @@ def main(ncams=356, npnts=226730, obs_per_pnt=6):
           nbytes=(40 + 2 * 26 * f32) * n)
 
     def cam_gather(c, a, p):
-        out = a[:, p.cam_perm] + c * 1e-30
+        # carry must perturb the gather INPUT: `gather + c` lets XLA hoist
+        # the loop-invariant gather and time only the elementwise add.
+        out = (a * (1 + c * 1e-30))[:, p.cam_perm]
         return c + out[0, 0] * 1e-30
 
     timed("cam_gather (32, n)[:, perm]", cam_gather, jnp.float32(0.0),
