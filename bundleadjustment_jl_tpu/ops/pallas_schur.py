@@ -661,8 +661,8 @@ MV_CACHE_CHUNKS = int(_os.environ.get("BA_MV_CACHE_CHUNKS", 8))
 
 
 def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
-                       hpp_ref, out_ref, dp_ref, w_s, id_s, acc_t, sems, *,
-                       C, P, sign):
+                       hpp_ref, out_ref, dp_ref, w_s, pnt_s, cam_s, acc_t,
+                       sems, *, C, P, sign):
     """One point tile of the FUSED ``segsum_cam(W_k (Hpp_inv
     segsum_pnt(W' v))[pnt_k])``: loop A streams the tile's rows once
     (caching chunks in VMEM), computing ``t`` for the tile's points;
@@ -676,8 +676,11 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
     ANY; table (ncams, 9) VMEM (v); hpp (16, P) VMEM block per tile
     (k-minor Hpp_inv rows 0-8 = entry 3a+b); out (ncams, 9) VMEM
     persistent.  Scratch: w_s (MV_CACHE_CHUNKS+2, K_PAD, C),
-    id_s (MV_CACHE_CHUNKS+2, 2, C) [row 0 pnt, row 1 cam],
-    acc_t (3, P) f32, sems (MV_CACHE_CHUNKS+2, 2).
+    pnt_s / cam_s (MV_CACHE_CHUNKS+2, 1, C) — SEPARATE single-sublane
+    buffers: a shared (slots, 2, C) i32 scratch sliced `at[s, 0:1]`
+    trips Mosaic's sublane-tiling alignment (slice extent 1 in a dim
+    tiled 2) on hardware, though interpret mode accepts it —
+    acc_t (3, P) f32, sems (MV_CACHE_CHUNKS+2, 3).
     """
     t = pl.program_id(0)
     start = bounds_ref[t]
@@ -700,17 +703,17 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
         pltpu.make_async_copy(wt_ref.at[:, pl.ds(lo0 + j * C, C)],
                               w_s.at[s], sems.at[s, 0]).start()
         pltpu.make_async_copy(pnt_ref.at[:, pl.ds(lo0 + j * C, C)],
-                              id_s.at[s, 0:1], sems.at[s, 1]).start()
+                              pnt_s.at[s], sems.at[s, 1]).start()
         pltpu.make_async_copy(cam_ref.at[:, pl.ds(lo0 + j * C, C)],
-                              id_s.at[s, 1:2], sems.at[s, 2]).start()
+                              cam_s.at[s], sems.at[s, 2]).start()
 
     def dma_wait(j, s):
         pltpu.make_async_copy(wt_ref.at[:, pl.ds(lo0 + j * C, C)],
                               w_s.at[s], sems.at[s, 0]).wait()
         pltpu.make_async_copy(pnt_ref.at[:, pl.ds(lo0 + j * C, C)],
-                              id_s.at[s, 0:1], sems.at[s, 1]).wait()
+                              pnt_s.at[s], sems.at[s, 1]).wait()
         pltpu.make_async_copy(cam_ref.at[:, pl.ds(lo0 + j * C, C)],
-                              id_s.at[s, 1:2], sems.at[s, 2]).wait()
+                              cam_s.at[s], sems.at[s, 2]).wait()
 
     acc_t[:] = jnp.zeros_like(acc_t)
 
@@ -731,8 +734,8 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
 
         dma_wait(j, s)
         wt_c = w_s[s].astype(jnp.float32)
-        cam_c = id_s[s, 1:2]
-        pnt_c = id_s[s, 0:1]
+        cam_c = cam_s[s]
+        pnt_c = pnt_s[s]
         oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                 == cam_c).astype(jnp.float32)                  # (ncams, C)
         x_t = _dot(table_ref[:].astype(jnp.float32), oh_v,
@@ -778,8 +781,7 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
     ncached = jnp.minimum(nchunks, jnp.int32(MAXCH))
 
     def body_b1(j, _):
-        apply_chunk(j, w_s[j].astype(jnp.float32), id_s[j, 0:1],
-                    id_s[j, 1:2])
+        apply_chunk(j, w_s[j].astype(jnp.float32), pnt_s[j], cam_s[j])
         return 0
 
     jax.lax.fori_loop(0, ncached, body_b1, 0)
@@ -796,8 +798,7 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
                 dma(j + 1, slot(j + 1))
 
             dma_wait(j, s)
-            apply_chunk(j, w_s[s].astype(jnp.float32), id_s[s, 0:1],
-                        id_s[s, 1:2])
+            apply_chunk(j, w_s[s].astype(jnp.float32), pnt_s[s], cam_s[s])
             return 0
 
         jax.lax.fori_loop(MAXCH, nchunks, body_b2, 0)
@@ -835,9 +836,9 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     def kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref, hpp_ref,
-               out_ref, dp_ref, w_s, id_s, acc_t, sems):
+               out_ref, dp_ref, w_s, pnt_s, cam_s, acc_t, sems):
         kern(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref, hpp_ref,
-             out_ref, dp_ref, w_s, id_s, acc_t, sems)
+             out_ref, dp_ref, w_s, pnt_s, cam_s, acc_t, sems)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -849,7 +850,8 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
                    pl.BlockSpec((8, P), lambda t, b: (0, t))],
         scratch_shapes=[
             pltpu.VMEM((MV_CACHE_CHUNKS + 2, K_PAD, C), W_t.dtype),
-            pltpu.VMEM((MV_CACHE_CHUNKS + 2, 2, C), jnp.int32),
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, 1, C), jnp.int32),
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, 1, C), jnp.int32),
             pltpu.VMEM((3, P), jnp.float32),
             pltpu.SemaphoreType.DMA((MV_CACHE_CHUNKS + 2, 3)),
         ],
