@@ -92,9 +92,18 @@ def main():
     # BENCH_PALLAS=0 opts out; CPU keeps the XLA path (no Mosaic there).
     use_pallas = (backend == "tpu"
                   and os.environ.get("BENCH_PALLAS", "1") != "0")
+    use_cam_scatter = False
     if use_pallas:
         from bundleadjustment_jl_tpu.ops import pallas_schur
         pallas_schur.set_mode(True)
+        # Camera-scatter kernels: every per-iteration stage as ONE
+        # W-stream pass (PARITY.md "Fused-kernel coverage") — measured
+        # ~2x end-to-end vs the default gathered layout at Dubrovnik-356
+        # (logs/bench_r2j_camscatter.log). The in-solver gates
+        # (cam_scatter_ok) still apply per problem; BENCH_CAM_SCATTER=0
+        # opts out for A/B runs.
+        use_cam_scatter = os.environ.get("BENCH_CAM_SCATTER", "1") != "0"
+        pallas_schur.CAM_SCATTER = use_cam_scatter
 
     def lady(seed):
         p, _ = synthetic_bal(ncams=49, npnts=7776, obs_per_pnt=4,
@@ -144,6 +153,7 @@ def main():
         "objective": dub_obj,
         "rmse_px": round((2.0 * dub_obj / nequ) ** 0.5, 4),
         "pallas": use_pallas,
+        "cam_scatter": use_cam_scatter,
         "traffic_model_gb": round(bytes_moved / 1e9, 2),
         "achieved_gbs": round(achieved_gbs, 2),
         "roofline_fraction": round(achieved_gbs / MEASURED_STREAM_GBS, 3),
