@@ -83,6 +83,17 @@ class GNBlocks(NamedTuple):
     # so rejected LM iterations never rebuild/re-permute W.
     W_t: jnp.ndarray | None = None
     W_cam_t: jnp.ndarray | None = None
+    # Range-equilibration scale for low-precision W storage (the heir of
+    # the reference's `normalize_F16!` global range scale,
+    # `/root/reference/src/lma_aux.jl:27-52` wired at `lm.jl:165-169`):
+    # the stored W arrays hold ``s * W`` with ``s`` a power of two chosen
+    # so the largest entry fits the storage dtype's range (f16 max
+    # 65504; BAL focals ~400-1000 put raw |W| ~ f^2 >> that). Exactness:
+    # this is the variable scaling dp = s * dp_hat — the Schur system
+    # S, b are invariant (W enters them once with Hpp_inv and once
+    # squared with Hpp_inv once), and consumers hat Hpp_inv by 1/s^2,
+    # g_p by s, and unscale dp at the exits (`ops/schur.py`). None = 1.
+    w_scale: jnp.ndarray | None = None
 
     @property
     def g_c(self):

@@ -67,6 +67,12 @@ class SchurSystem(NamedTuple):
     # ``S v = Hcc_l v - segsum_cam(W_k (Hpp_inv segsum_pnt(W'v))[pnt_k])``.
     W_t: jnp.ndarray | None = None
     W_cam_t: jnp.ndarray | None = None
+    # Low-precision range-equilibration scale (see GNBlocks.w_scale): the
+    # stored W arrays hold ``s * W``; ``Hpp_inv_f`` and ``g_p_f`` in THIS
+    # struct are hatted (``Hpp_inv / s^2``, ``s * g_p``) so every
+    # S-product and the reduced RHS are exact, and the point step emerges
+    # as ``dp_hat = dp / s`` — unscaled at the back-substitution exits.
+    w_scale: jnp.ndarray | None = None
 
     @property
     def Hcc_l(self):
@@ -124,19 +130,27 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
     transpose/permute), and are built here once otherwise (host-driver /
     XLA-assembly fallback)."""
     Hcc_l = damp(blocks.Hcc, lam)
+    Hpp_inv_f = inv3x3_damped_flat(blocks.Hpp_f, lam)
+    g_p_f = blocks.g_p_f
+    if blocks.w_scale is not None:
+        # hatted point space (stored W = s*W): Hpp_inv/s^2, s*g_p — S and
+        # b are exact; dp emerges /s and is unscaled at back-substitution.
+        Hpp_inv_f = Hpp_inv_f / jnp.square(blocks.w_scale)
+        g_p_f = g_p_f * blocks.w_scale
     sys = SchurSystem(Hcc_l_f=Hcc_l.reshape(-1),
-                      Hpp_inv_f=inv3x3_damped_flat(blocks.Hpp_f, lam),
+                      Hpp_inv_f=Hpp_inv_f,
                       W_f=blocks.W_f,
                       b_f=blocks.g_c_f,  # placeholder, replaced below
-                      g_p_f=blocks.g_p_f, cam_idx=problem.cam_idx,
+                      g_p_f=g_p_f, cam_idx=problem.cam_idx,
                       pnt_idx=problem.pnt_idx,
                       pnt_starts=problem.pnt_starts,
                       cam_perm=problem.cam_perm,
                       cam_starts=problem.cam_starts,
                       pnt_perm=problem.pnt_perm,
-                      W_t=blocks.W_t, W_cam_t=blocks.W_cam_t)
+                      W_t=blocks.W_t, W_cam_t=blocks.W_cam_t,
+                      w_scale=blocks.w_scale)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
-    tmp = m33_dot(sys.Hpp_inv_f, blocks.g_p)                 # (npnts,3)
+    tmp = m33_dot(sys.Hpp_inv_f, sys.g_p)                    # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
         ncams = sys.Hcc_l.shape[0]
@@ -187,7 +201,11 @@ def reduce_and_diag(problem: BAProblem, blocks: GNBlocks, lam):
         dt = blocks.g_c_f.dtype
         Hcc_l = damp(blocks.Hcc, lam)
         Hpp_inv_f = inv3x3_damped_flat(blocks.Hpp_f, lam)
-        tmp = m33_dot(Hpp_inv_f, blocks.g_p)                 # (npnts, 3)
+        g_p_f = blocks.g_p_f
+        if blocks.w_scale is not None:   # hatted point space (see above)
+            Hpp_inv_f = Hpp_inv_f / jnp.square(blocks.w_scale)
+            g_p_f = g_p_f * blocks.w_scale
+        tmp = m33_dot(Hpp_inv_f, g_p_f.reshape(-1, 3))       # (npnts, 3)
         h6 = Hpp_inv_f.reshape(-1, 9)[:, jnp.array([0, 1, 2, 4, 5, 8])]
         npnts = h6.shape[0]
         op16 = pallas_schur.pad_rows(
@@ -202,11 +220,12 @@ def reduce_and_diag(problem: BAProblem, blocks: GNBlocks, lam):
             Hcc_l_f=Hcc_l.reshape(-1), Hpp_inv_f=Hpp_inv_f,
             W_f=blocks.W_f,
             b_f=(-blocks.g_c + out[:, 81:90].astype(dt)).reshape(-1),
-            g_p_f=blocks.g_p_f, cam_idx=problem.cam_idx,
+            g_p_f=g_p_f, cam_idx=problem.cam_idx,
             pnt_idx=problem.pnt_idx, pnt_starts=problem.pnt_starts,
             cam_perm=problem.cam_perm, cam_starts=problem.cam_starts,
             pnt_perm=problem.pnt_perm,
-            W_t=blocks.W_t, W_cam_t=blocks.W_cam_t)
+            W_t=blocks.W_t, W_cam_t=blocks.W_cam_t,
+            w_scale=blocks.w_scale)
         Sd = Hcc_l - out[:, :81].reshape(-1, 9, 9).astype(Hcc_l.dtype)
         return sys, Sd
     sys = reduce_system(problem, blocks, lam)
@@ -231,6 +250,10 @@ def back_substitute_quad(problem: BAProblem, blocks: GNBlocks,
             bounds, ncams, npnts, gp_f=sys.g_p_f, sign=-1.0,
             with_dp=True)
         dp = dp8[:3, :npnts].T.astype(dc.dtype)              # (npnts, 3)
+        if sys.w_scale is not None:
+            # the kernel's t is dp_hat = dp/s (hatted operands); the
+            # camera output segsum_cam(sW * dp/s) is already exact.
+            dp = dp * sys.w_scale.astype(dp.dtype)
         t_c = jnp.sum(dc * jnp.einsum(
             "cab,cb->ca", blocks.Hcc, dc,
             precision=jax.lax.Precision.HIGHEST))
@@ -367,16 +390,23 @@ def schur_diag_blocks(sys: SchurSystem,
 
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
-    """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``."""
+    """Recover the point step: ``dp = -Hpp_inv (g_p + W' dc)``.
+
+    With a low-precision ``w_scale`` the hatted operands yield
+    ``dp_hat = dp / s``; the exit multiplies the scale back."""
+    s = (jnp.ones((), dc.dtype) if sys.w_scale is None
+         else sys.w_scale.astype(dc.dtype))
     if _use_pallas(sys) and sys.W_t is not None:
         from bundleadjustment_jl_tpu.ops import pallas_schur
         # dp = -Hpp_inv (g_p + segsum_pnt(W' dc)) — in-kernel fold + add.
-        return pallas_schur.wtv_point_reduce(
+        dp = pallas_schur.wtv_point_reduce(
             sys.W_t, dc, sys.pnt_idx, sys.cam_idx, sys.pnt_starts,
             sys.Hpp_inv.shape[0], hpp_inv_f=sys.Hpp_inv_f,
             add_gp=sys.g_p_f, sign=-1.0)
+        return dp if sys.w_scale is None else dp * s
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(dc, sys.cam_idx)))
-    return -m33_dot(sys.Hpp_inv_f, sys.g_p + t)
+    dp = -m33_dot(sys.Hpp_inv_f, sys.g_p + t)
+    return dp if sys.w_scale is None else dp * s
 
 
 def quad_form(problem: BAProblem, blocks: GNBlocks,
@@ -393,11 +423,15 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
     # spmd: Hcc is replicated (t_c redundantly identical per device);
     # Hpp/W are local -> the point and cross terms all-reduce.
     t_p = spmdctx.psum(jnp.sum(dp * m33_dot(blocks.Hpp_f, dp)))
+    # stored W is s*W under low-precision range scaling: the cross term
+    # (linear in W) consumes dp/s so s cancels exactly (power of two).
+    dp_h = dp if blocks.w_scale is None \
+        else dp / blocks.w_scale.astype(dp.dtype)
     from bundleadjustment_jl_tpu.ops import pallas_schur
     if pallas_schur.PALLAS_MODE and blocks.W_t is not None:
         # cross = sum_c dc[c] . segsum_cam(W_k dp[pnt_k]) — one fused pass
         # over the carried W (W_f is absent on this path).
-        dp8 = pallas_schur.pad_rows(dp.T, 8)
+        dp8 = pallas_schur.pad_rows(dp_h.T, 8)
         if _cam_scatter(problem, problem.ncams):
             bounds = pallas_schur.tile_bounds(problem.pnt_starts,
                                               problem.npnts)
@@ -414,7 +448,7 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
         return t_c + 2.0 * spmdctx.psum(
             jnp.sum(cross_cam * dc.astype(cross_cam.dtype))
             .astype(t_c.dtype)) + t_p
-    dp_obs = take_pnt(dp, problem.pnt_idx, problem.pnt_starts,
+    dp_obs = take_pnt(dp_h, problem.pnt_idx, problem.pnt_starts,
                       problem.pnt_perm)
     cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)
                     * take_cam(dc, problem.cam_idx))

@@ -156,6 +156,16 @@ def _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol, ortol,
     )
 
 
+def _w_assemble_dtype(facto_dtype):
+    """Dtype the k-minor assembly may write W in directly: f16 must NOT be
+    written raw (range overflow before the equilibration scale is known —
+    see :func:`_maybe_cast_facto`); bf16 shares f32's exponent range and
+    is safe to emit straight from the assembly kernel."""
+    if facto_dtype is None or jnp.dtype(facto_dtype) == jnp.float16:
+        return None
+    return facto_dtype
+
+
 def _maybe_cast_facto(blocks, facto_dtype):
     """Low-precision storage of the factorization operands — the TPU-native
     heir of the reference's ``facto_type`` mixed precision (`lm.jl:99`
@@ -166,16 +176,34 @@ def _maybe_cast_facto(blocks, facto_dtype):
     matvec) are stored in ``facto_dtype``. The small diagonal blocks
     (``Hcc``: 81/camera, ``Hpp``: 9/point) stay full-precision — measured:
     casting them too degrades step quality enough to inflate LM iterations
-    ~4x, wiping out the byte saving. Products accumulate in f32 (MXU)."""
+    ~4x, wiping out the byte saving. Products accumulate in f32 (MXU).
+
+    float16 additionally range-equilibrates — the heir of the reference's
+    ``normalize_F16!`` global range scale (`lma_aux.jl:27-52`, wired at
+    `lm.jl:165-169`): BAL focals put raw ``|W| ~ f^2`` far above f16's
+    65504 max, so a raw cast silently infs. The stored W is ``s * W``
+    with ``s`` an exact power of two placing the max entry at ~2^14;
+    consumers hat ``Hpp_inv`` by ``1/s^2`` / ``g_p`` by ``s`` and unscale
+    ``dp`` at the exits (`ops/schur.py`) — the same damped system, only
+    f16 rounding differs."""
     if facto_dtype is None:
         return blocks
     fd = jnp.dtype(facto_dtype)
+    scale = None
+    if fd == jnp.float16:
+        src = blocks.W_t if blocks.W_t is not None else blocks.W_f
+        wmax = spmdctx.pmax(jnp.max(jnp.abs(src)).astype(jnp.float32))
+        safe = jnp.where(jnp.isfinite(wmax) & (wmax > 0), wmax, 1.0)
+        scale = jnp.exp2(jnp.floor(jnp.log2(16384.0 / safe)))
+    mul = 1.0 if scale is None else scale
     if blocks.W_t is not None:
         return blocks._replace(
-            W_t=blocks.W_t.astype(fd),
+            W_t=(blocks.W_t * mul).astype(fd),
             W_cam_t=(None if blocks.W_cam_t is None
-                     else blocks.W_cam_t.astype(fd)))
-    return blocks._replace(W_f=blocks.W_f.astype(fd))
+                     else (blocks.W_cam_t * mul).astype(fd)),
+            w_scale=scale)
+    return blocks._replace(W_f=(blocks.W_f * mul).astype(fd),
+                           w_scale=scale)
 
 
 def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
@@ -190,7 +218,7 @@ def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
     kminor0 = _kminor(problem, dtype, pallas_mode, use_cgls, use_dense)
     blocks0 = assemble_blocks(
         problem, cams, points, with_jr=use_cgls, kminor=kminor0,
-        w_dtype=facto_dtype if kminor0 else None)
+        w_dtype=_w_assemble_dtype(facto_dtype) if kminor0 else None)
     obj0 = blocks0.obj
     gnorm0 = gradient_norm(blocks0)
     blocks0 = _maybe_cast_facto(blocks0, facto_dtype)
@@ -248,9 +276,9 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         # folded into assembly and ||J d||^2 comes from quad_form, so the
         # (nobs, 26) r/Jc/Jp arrays never hit HBM. CGLS iterates on J
         # directly and is the one solver that still needs them.
-        blocks = assemble_blocks(problem, c, p, with_jr=use_cgls,
-                                 kminor=kminor,
-                                 w_dtype=facto_dtype if kminor else None)
+        blocks = assemble_blocks(
+            problem, c, p, with_jr=use_cgls, kminor=kminor,
+            w_dtype=_w_assemble_dtype(facto_dtype) if kminor else None)
         return (_maybe_cast_facto(blocks, facto_dtype), blocks.obj,
                 gradient_norm(blocks))
 

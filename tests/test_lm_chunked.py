@@ -85,6 +85,56 @@ def test_facto_dtype_bf16_converges_near_f32(problem):
         float(base.objective), rel=2e-2)
 
 
+def test_facto_dtype_f16_converges_near_f32(problem):
+    """f16 W storage with the range-equilibration scale (the heir of the
+    reference's ``normalize_F16!``, `lma_aux.jl:27-52`)."""
+    p32 = problem.astype(jnp.float32)
+    kw = dict(max_iters=60, lam0_mode="diag", satol=0.0, srtol=0.0,
+              atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+    base = levenberg_marquardt_jit(p32, **kw)
+    mixed = levenberg_marquardt_jit(p32, facto_dtype=jnp.float16, **kw)
+    assert STATUS_NAMES[int(mixed.status)] != "exception"
+    assert float(mixed.objective) == pytest.approx(
+        float(base.objective), rel=2e-2)
+
+
+def test_facto_dtype_f16_survives_w_overflow(problem):
+    """Scale focal and observations by 16 (an exact problem
+    transformation: the projection is linear in f): max|W| ~ f^2 rises
+    past f16's 65504 max, so a raw cast would silently inf — the
+    power-of-two range scale must keep the solve finite and convergent."""
+    import dataclasses
+    p32 = problem.astype(jnp.float32)
+    s = jnp.float32(16.0)
+    cams = p32.cams.at[:, 8].mul(s)
+    big = dataclasses.replace(p32, cams=cams, pt2d=p32.pt2d * s)
+
+    from bundleadjustment_jl_tpu.ops.normal import assemble_blocks
+    from bundleadjustment_jl_tpu.solver.lm_jit import _maybe_cast_facto
+    blocks = assemble_blocks(big)
+    assert float(jnp.max(jnp.abs(blocks.W_f))) > 65504.0  # raw cast infs
+    cast = _maybe_cast_facto(blocks, jnp.float16)
+    assert bool(jnp.all(jnp.isfinite(
+        cast.W_f.astype(jnp.float32))))
+    sc = float(cast.w_scale)
+    assert sc < 1.0 and (sc == 2.0 ** round(np.log2(sc)))  # power of two
+    # scaled storage round-trips to W within f16 relative accuracy
+    np.testing.assert_allclose(
+        np.asarray(cast.W_f.astype(jnp.float32)) / sc,
+        np.asarray(blocks.W_f, dtype=np.float32), rtol=2e-3, atol=1e-3)
+
+    kw = dict(max_iters=60, lam0_mode="diag", satol=0.0, srtol=0.0,
+              atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+    base = levenberg_marquardt_jit(big, **kw)
+    mixed = levenberg_marquardt_jit(big, facto_dtype=jnp.float16, **kw)
+    assert STATUS_NAMES[int(mixed.status)] != "exception"
+    assert jnp.isfinite(mixed.objective)
+    # objective scales by s^2 vs the unscaled problem; compare to its
+    # own f32 run — f16 storage must stay within ~1%
+    assert float(mixed.objective) == pytest.approx(
+        float(base.objective), rel=2e-2)
+
+
 def test_unknown_option_raises(problem):
     with pytest.raises(TypeError):
         levenberg_marquardt_jit_chunked(problem, bogus_option=1)

@@ -215,6 +215,27 @@ def test_quad_form_kminor(sys_v):
     assert abs(float(got) - float(oracle)) <= _tol(oracle)
 
 
+def test_lm_jit_pallas_f16_facto():
+    """f16 W storage through the fused kminor path: assembly stays f32,
+    the cast applies the range-equilibration scale, and the solve reaches
+    the f32 objective (the hatted-operand exactness of `ops/schur.py`)."""
+    prob, _ = synthetic_bal(ncams=9, npnts=150, obs_per_pnt=4, seed=3,
+                            dtype=jnp.float32, perturb=1e-2)
+    kw = dict(max_iters=30, lam0_mode="diag", satol=0.0, srtol=0.0,
+              atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        ref = levenberg_marquardt_jit(prob, **kw)
+        got = levenberg_marquardt_jit(prob, facto_dtype=jnp.float16, **kw)
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    assert jnp.isfinite(got.objective)
+    assert abs(float(got.objective) - float(ref.objective)) <= (
+        2e-2 * (1.0 + abs(float(ref.objective))))
+
+
 @pytest.mark.parametrize("max_cams", [1024, 4])
 def test_lm_jit_pallas_parity(max_cams):
     """Full jitted LM solve, Pallas on == off; both camera-gather branches."""
