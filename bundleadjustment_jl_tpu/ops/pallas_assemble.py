@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bundleadjustment_jl_tpu.ops.pallas_linearize import (
     linearize_chain, project_chain)
 from bundleadjustment_jl_tpu.ops.pallas_schur import (
-    INTERPRET, K_PAD, SEG_TILE, _chunk_rows)
+    INTERPRET, K_PAD, SEG_TILE, _chunk_rows, _doth)
 
 
 def pack_pw(problem) -> jnp.ndarray:
@@ -135,18 +135,14 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
         # camera params (9, C) from the VMEM table
         oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                 == cid).astype(jnp.float32)
-        cpar = jax.lax.dot_general(
-            cams_ref[:].astype(jnp.float32), oh_v, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (9, C)
+        cpar = _doth(cams_ref[:], oh_v, ((0,), (0,)),
+                     "lhs", "gather")                        # (9, C)
         # point coords (3, C) from the haloed window
         lh = pid - halo_lo
         oh_h = (jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
                 == lh).astype(jnp.float32)
-        X3 = jax.lax.dot_general(
-            pts, oh_h, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (8, C)
+        X3 = _doth(pts, oh_h, ((1,), (0,)),
+                   "lhs", "gather")                          # (8, C)
 
         Jc, Jp, res = linearize_chain(
             [cpar[a:a + 1] for a in range(3)],
@@ -180,11 +176,9 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
         local = pid - seg_base
         oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                 == local).astype(jnp.float32)
-        acc_p[:] += jax.lax.dot_general(
+        acc_p[:] += _doth(
             oh_p, jnp.concatenate(rows12, axis=0),
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (P, 12)
+            ((1,), (1,)), "rhs", "scatter")                  # (P, 12)
 
         # [Hcc | g_c] (90, C) -> persistent camera scatter (masked ids).
         rows90 = [Jc[a] * Jc[d] + Jc[9 + a] * Jc[9 + d]
@@ -193,11 +187,9 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
         camm = jnp.where(vm, cid, -1)
         oh_c = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                 == camm).astype(jnp.float32)
-        outc_ref[:] += jax.lax.dot_general(
+        outc_ref[:] += _doth(
             oh_c, jnp.concatenate(rows90, axis=0),
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (ncams, 90)
+            ((1,), (1,)), "rhs", "scatter")                  # (ncams, 90)
 
         # objective (weighted residuals; masked to this tile's rows)
         vmf = vm.astype(jnp.float32)
@@ -321,15 +313,10 @@ def _obj_kernel(pofs_ref, pw_ref, pts_ref, cams_ref, out_ref, pts_s,
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     acc = jnp.zeros((1, 128), jnp.float32)
     for s in range(S):
-        cpar = jax.lax.dot_general(
-            cams_ref[s].astype(jnp.float32), oh_v,
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (9, C)
-        X3 = jax.lax.dot_general(
-            pts[8 * s:8 * s + 3], oh_h, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (3, C)
+        cpar = _doth(cams_ref[s], oh_v, ((0,), (0,)),
+                     "lhs", "gather")                        # (9, C)
+        X3 = _doth(pts[8 * s:8 * s + 3], oh_h, ((1,), (0,)),
+                   "lhs", "gather")                          # (3, C)
         res = project_chain(
             [cpar[a:a + 1] for a in range(3)],
             [cpar[a:a + 1] for a in range(3, 6)],

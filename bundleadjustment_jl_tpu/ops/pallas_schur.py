@@ -18,8 +18,9 @@ range.  The grid runs over *segment tiles* (P segments); each grid step
 walks its row range in fixed-size, **C-aligned** chunks with manual
 HBM→VMEM DMA, computes the per-row 9x3 block product in VMEM, and
 reduces rows to segments with a local one-hot matmul on the MXU (exact:
-0/1 one-hot, ``precision=HIGHEST``).  The accumulator lives in VMEM;
-only the final per-tile output is written back.
+0/1 one-hot side in one bf16 term, value side in three — see ``SPLIT3``).
+The accumulator lives in VMEM; only the final per-tile output is written
+back.
 
 TPU layout contract (learned from Mosaic's DMA-slice rules, which this
 file encodes): a manual HBM→VMEM copy may only slice shapes/offsets that
@@ -115,10 +116,13 @@ K_PAD = 32
 
 # In-kernel camera one-hot gather costs O(ncams*C) MXU FLOPs per chunk;
 # past this camera count an XLA pre-gather of v (64 B/row of padded
-# 9-vector traffic) is cheaper than the one-hot contraction.  Env-
-# overridable: Venice-class problems sit at 1350-1778 cameras, just
-# above the default — sweep BA_GATHER_MAX on hardware.
-GATHER_TABLE_MAX_CAMS = int(_os.environ.get("BA_GATHER_MAX", 1024))
+# 9-vector traffic) is cheaper than the one-hot contraction.  With the
+# SPLIT3 bf16 one-hots the crossover moved past Venice: at ncams=1778
+# the fused single-stream matvec measures 72.9 ms vs ~107 ms for the
+# two-pass + per-matvec XLA pre-gather (logs/mv_sweep_r3_venice.log,
+# logs/profile_r3a_venice1778.log), so Venice-class problems now ride
+# the fused path.  Env-overridable for sweeps.
+GATHER_TABLE_MAX_CAMS = int(_os.environ.get("BA_GATHER_MAX", 2048))
 
 # Camera-scatter mode (`cam_scatter_reduce`): camera-direction reductions
 # stream the POINT-sorted arrays and scatter-accumulate into a persistent
@@ -131,6 +135,80 @@ CAM_SCATTER = _os.environ.get("BA_CAM_SCATTER", "0") == "1"
 CAM_SCATTER_MAX_CAMS = int(_os.environ.get("BA_CAM_SCATTER_MAX", 4096))
 
 _HIGH = jax.lax.Precision.HIGHEST
+
+# Exact-split one-hot contractions: every MXU op in these kernels has a
+# 0/1 iota-comparison matrix on one side (gather/scatter/expand/reduce)
+# and f32 VALUES on the other. Precision.HIGHEST pays the full 6-pass
+# f32 x f32 emulation although the 0/1 side is exactly representable in
+# ONE bf16 term; splitting only the value side into 3 bf16 terms
+# (hi + mid + lo covers all 24 significand bits; each residual is an
+# exact f32 subtraction by Sterbenz) gives the same result in 3 native
+# bf16 passes.  Whether 3 ops beat 1 six-pass op is SHAPE-dependent
+# (small expansions are op-latency-bound), so sites are tagged by class
+# and the enabled set is a measured choice (logs/mv_sweep_r3_*.log):
+#   gather  — one-hot gathers against a VMEM value table (ncams-wide K)
+#   scatter — segment/camera one-hot contractions of per-row values
+#   expand  — small 0/1 expansions & per-tile folds (K_PAD/9/3-wide)
+#   prod    — the per-row product functions' row picks (values split
+#             ONCE per chunk and reused across all picks)
+# BA_SPLIT3_CLASSES overrides (comma list or "" = all HIGHEST).
+# Measured winner (logs/mv_sweep_r3_classes.log, Dubrovnik-356 shapes,
+# cam-scatter mode): gather+scatter+prod — matvec 11.9 -> 7.7 ms,
+# jtj_cam 6.4 -> 3.8, jtj_pnt 7.6 -> 4.7; "expand" is neutral-to-noise
+# (op-latency-bound small shapes) and stays off.
+SPLIT3_CLASSES = frozenset(
+    c for c in _os.environ.get("BA_SPLIT3_CLASSES",
+                               "gather,scatter,prod").split(",") if c)
+
+
+def _split3(x):
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _parts(x, cls, exact=False):
+    """Pre-split a value tensor for reuse across several 0/1 dots of one
+    chunk; a 1-tuple f32 keeps the HIGHEST path when the class is off.
+    ``exact=True`` (value already exactly representable in bf16 — e.g.
+    bf16-stored W upconverted or raw): ONE bf16 term, one native pass."""
+    if exact:
+        return (x.astype(jnp.bfloat16),)
+    return _split3(x) if cls in SPLIT3_CLASSES else (x,)
+
+
+def _dotp(a, b, dims, split):
+    """Dot where one side is 0/1 (exactly bf16) and the other is a
+    pre-split tuple from :func:`_parts` (``split`` names the tuple side).
+    1-tuple -> single HIGHEST dot; 3-tuple -> 3 native bf16 passes."""
+    parts = a if split == "lhs" else b
+    if len(parts) == 1 and parts[0].dtype == jnp.float32:
+        pair = (parts[0], b) if split == "lhs" else (a, parts[0])
+        return _dot(*pair, dims)
+    out = None
+    if split == "lhs":
+        bb = b.astype(jnp.bfloat16)
+        for part in parts:
+            t = jax.lax.dot_general(part, bb, (dims, ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out = t if out is None else out + t
+        return out
+    ab = a.astype(jnp.bfloat16)
+    for part in parts:
+        t = jax.lax.dot_general(ab, part, (dims, ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
+
+
+def _doth(a, b, dims, split, cls="scatter"):
+    """One-shot form of :func:`_dotp`: split the value side here."""
+    val = a if split == "lhs" else b
+    parts = _parts(val.astype(jnp.float32), cls)
+    return _dotp(parts if split == "lhs" else a,
+                 parts if split != "lhs" else b, dims, split)
 
 
 def set_mode(on: bool) -> None:
@@ -238,14 +316,16 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
             ncams = table_ref.shape[0]
             oh_t = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                     == xc_c).astype(jnp.float32)               # (ncams, C)
-            x_t = _dot(table_ref[:].astype(jnp.float32), oh_t,
-                       ((0,), (0,)))                           # (9, C)
+            x_t = _doth(table_ref[:], oh_t, ((0,), (0,)),
+                        "lhs", "gather")                       # (9, C)
         else:
             x_t = xc_c.astype(jnp.float32)                     # (dxp, C)
 
-        x_rep = _dot(exp_m, x_t, ((1,), (0,)))                 # (K_PAD, C)
+        x_rep = _doth(exp_m, x_t, ((1,), (0,)), "rhs",
+                      "expand")                                # (K_PAD, C)
         prod = wt_c.astype(jnp.float32) * x_rep                # (K_PAD, C)
-        rows_t = _dot(red_m, prod, ((1,), (0,)))               # (d_out, C)
+        rows_t = _doth(red_m, prod, ((1,), (0,)), "rhs",
+                       "expand")                               # (d_out, C)
 
         # Local one-hot segment reduction: rows whose segment falls
         # outside [seg_base, seg_base+P) (neighbors in the shared aligned
@@ -254,9 +334,11 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
         oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                   == local).astype(jnp.float32)                # (P, C)
         if out_k8 and not fold_diag:
-            acc[:] += _dot(rows_t, oh_seg, ((1,), (1,)))       # (d_out, P)
+            acc[:] += _doth(rows_t, oh_seg, ((1,), (1,)),
+                            "lhs")                             # (d_out, P)
         else:
-            acc[:] += _dot(oh_seg, rows_t, ((1,), (1,)))       # (P, d_out)
+            acc[:] += _doth(oh_seg, rows_t, ((1,), (1,)),
+                            "rhs")                             # (P, d_out)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -266,11 +348,11 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
         if has_add:
             res = res + add_ref[:].astype(jnp.float32)
         # out[p, a] = sum_b diag[p, 3a+b] * res[p, b]
-        rep = _dot(res, _iota01((3, 9), lambda r: r, lambda c: c % 3),
-                   ((1,), (0,)))                               # (P, 9)
-        res = _dot(diag_ref[:].astype(jnp.float32) * rep,
-                   _iota01((9, 3), lambda r: r // 3, lambda c: c),
-                   ((1,), (0,)))                               # (P, 3)
+        rep = _doth(res, _iota01((3, 9), lambda r: r, lambda c: c % 3),
+                    ((1,), (0,)), "lhs", "expand")             # (P, 9)
+        res = _doth(diag_ref[:].astype(jnp.float32) * rep,
+                    _iota01((9, 3), lambda r: r // 3, lambda c: c),
+                    ((1,), (0,)), "lhs", "expand")             # (P, 3)
     elif has_add:
         # post-reduce additive term (no diagonal fold) — serves
         # back_substitute's  -(Hpp_inv g_p + segsum(W' dc))  form.
@@ -279,12 +361,14 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
     if out_k8:
         if fold_diag:
             # (P, 3) -> zero-padded (8, P): contract the tile axis.
-            res = _dot(_iota01((8, res.shape[1]), lambda r: r,
-                               lambda c: c), res, ((1,), (1,)))
+            res = _doth(_iota01((8, res.shape[1]), lambda r: r,
+                                lambda c: c), res, ((1,), (1,)), "rhs",
+                        "expand")
         else:
             # (d_out, P) -> zero-padded (8, P) via a 0/1 row placer.
-            res = _dot(_iota01((8, res.shape[0]), lambda r: r,
-                               lambda c: c), res, ((1,), (0,)))
+            res = _doth(_iota01((8, res.shape[0]), lambda r: r,
+                                lambda c: c), res, ((1,), (0,)), "rhs",
+                        "expand")
     out_ref[:] = res.astype(out_ref.dtype)
 
 
@@ -449,13 +533,15 @@ def _prod_reduce_kernel(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
             _dma_start(copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
 
         _dma_wait(copies, j, slot, sems)
-        x1 = x1_s[slot].astype(jnp.float32)
+        x1 = x1_s[slot]                 # storage dtype: prod()/_parts()
+        #                                 exploit bf16-exact W directly
         x2 = x2_s[slot].astype(jnp.float32) if x2_ref is not None else None
         rows_t = prod(x1, x2)                                  # (d_out, C)
         local = idx_s[slot] - seg_base
         oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                   == local).astype(jnp.float32)                # (P, C)
-        acc[:] += _dot(oh_seg, rows_t, ((1,), (1,)))           # (P, d_out)
+        acc[:] += _doth(oh_seg, rows_t, ((1,), (1,)),
+                        "rhs")                                 # (P, d_out)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -566,7 +652,7 @@ def _cam_scatter_kernel(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref,
             _dma_start(copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
 
         _dma_wait(copies, j, slot, sems)
-        x1 = x1_s[slot].astype(jnp.float32)
+        x1 = x1_s[slot]                 # storage dtype (see _parts)
         # Exact-range row mask (boundary rows belong to adjacent tiles).
         rowid = (lo0 + j * C
                  + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1))
@@ -576,14 +662,15 @@ def _cam_scatter_kernel(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref,
             local = idx_s[slot] - seg_base                  # (1, C)
             oh_pc = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                      == local).astype(jnp.float32)          # (P, C)
-            op_ex = _dot(op_ref[:].astype(jnp.float32), oh_pc,
-                         ((1,), (0,)))                      # (8, C)
+            op_ex = _doth(op_ref[:], oh_pc,
+                          ((1,), (0,)), "lhs", "gather")    # (8, C)
             rows_t = prod(x1, op_ex)                        # (d_out, C)
         else:
             rows_t = prod(x1, None)
         oh_cam = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                   == camm).astype(jnp.float32)              # (ncams, C)
-        out_ref[:] += _dot(oh_cam, rows_t, ((1,), (1,)))    # (ncams, d_out)
+        out_ref[:] += _doth(oh_cam, rows_t, ((1,), (1,)),
+                            "rhs")                          # (ncams, d_out)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -738,14 +825,16 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
         pnt_c = pnt_s[s]
         oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                 == cam_c).astype(jnp.float32)                  # (ncams, C)
-        x_t = _dot(table_ref[:].astype(jnp.float32), oh_v,
-                   ((0,), (0,)))                               # (9, C)
-        prod = wt_c * _dot(exp9, x_t, ((1,), (0,)))            # (K_PAD, C)
-        rows3 = _dot(red3, prod, ((1,), (0,)))                 # (3, C)
+        x_t = _doth(table_ref[:], oh_v, ((0,), (0,)),
+                    "lhs", "gather")                           # (9, C)
+        prod = wt_c * _doth(exp9, x_t, ((1,), (0,)), "rhs",
+                            "expand")                          # (K_PAD, C)
+        rows3 = _doth(red3, prod, ((1,), (0,)), "rhs",
+                      "expand")                                # (3, C)
         local = pnt_c - seg_base
         oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                 == local).astype(jnp.float32)                  # (P, C)
-        acc_t[:] += _dot(rows3, oh_p, ((1,), (1,)))            # (3, P)
+        acc_t[:] += _doth(rows3, oh_p, ((1,), (1,)), "lhs")    # (3, P)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body_a, 0)
@@ -755,14 +844,14 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
     # (zero for the plain matvec) — with sign = -1 this IS the
     # back-substitution dp = -Hpp_inv (g_p + W' dc).
     t3 = acc_t[:] + hpp_ref[9:12, :].astype(jnp.float32)
-    rep = _dot(_iota01((9, 3), lambda r: r % 3, lambda c: c), t3,
-               ((1,), (0,)))                                   # (9, P)
+    rep = _doth(_iota01((9, 3), lambda r: r % 3, lambda c: c), t3,
+                ((1,), (0,)), "rhs", "expand")                 # (9, P)
     prod_h = hpp_ref[0:9, :].astype(jnp.float32) * rep
-    t3 = sign * _dot(_iota01((3, 9), lambda r: r, lambda c: c // 3),
-                     prod_h, ((1,), (0,)))                     # (3, P)
+    t3 = sign * _doth(_iota01((3, 9), lambda r: r, lambda c: c // 3),
+                      prod_h, ((1,), (0,)), "rhs", "expand")   # (3, P)
     # per-tile dp output (k-minor, rows 0-2; zero-padded to 8 sublanes)
-    dp_ref[:] = _dot(_iota01((8, 3), lambda r: r, lambda c: c), t3,
-                     ((1,), (0,))).astype(dp_ref.dtype)
+    dp_ref[:] = _doth(_iota01((8, 3), lambda r: r, lambda c: c), t3,
+                      ((1,), (0,)), "rhs", "expand").astype(dp_ref.dtype)
 
     def apply_chunk(j, wt_c, pnt_c, cam_c):
         rowid = (lo0 + j * C
@@ -772,16 +861,17 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
         local = pnt_c - seg_base
         oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
                 == local).astype(jnp.float32)
-        op_ex = _dot(t3, oh_p, ((1,), (0,)))                   # (3, C)
+        op_ex = _doth(t3, oh_p, ((1,), (0,)), "lhs",
+                      "gather")                                # (3, C)
         rows9 = _prod_w_op(wt_c, op_ex)                        # (9, C)
         oh_c = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
                 == camm).astype(jnp.float32)
-        out_ref[:] += _dot(oh_c, rows9, ((1,), (1,)))
+        out_ref[:] += _doth(oh_c, rows9, ((1,), (1,)), "rhs")
 
     ncached = jnp.minimum(nchunks, jnp.int32(MAXCH))
 
     def body_b1(j, _):
-        apply_chunk(j, w_s[j].astype(jnp.float32), pnt_s[j], cam_s[j])
+        apply_chunk(j, w_s[j], pnt_s[j], cam_s[j])
         return 0
 
     jax.lax.fori_loop(0, ncached, body_b1, 0)
@@ -798,7 +888,7 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
                 dma(j + 1, slot(j + 1))
 
             dma_wait(j, s)
-            apply_chunk(j, w_s[s].astype(jnp.float32), pnt_s[s], cam_s[s])
+            apply_chunk(j, w_s[s], pnt_s[s], cam_s[s])
             return 0
 
         jax.lax.fori_loop(MAXCH, nchunks, body_b2, 0)
@@ -870,11 +960,12 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
 def _prod_w_op(w, op):
     """Per-row ``W_k @ op[:3]`` -> 9 rows (a) from k-minor ``w``
     (row 3a+b) and a (8, C) 3-vector operand."""
+    wp = _parts(w, "prod", exact=w.dtype == jnp.bfloat16)
     out = None
     for b in range(3):
         pw = _iota01((9, w.shape[0]), lambda r, b=b: 3 * r + b,
                      lambda c: c)
-        term = _dot(pw, w, ((1,), (0,))) * op[b:b + 1, :]
+        term = _dotp(pw, wp, ((1,), (0,)), "rhs") * op[b:b + 1, :]
         out = term if out is None else out + term
     return out
 
@@ -907,21 +998,26 @@ def _sym6(b: int, c):
 def _prod_wcw(w, c6):
     """Per-row ``(W C W')`` flattened to 81 rows (r = 9a + d), from k-minor
     ``w`` (K_PAD, C; row 3a+b) and packed-symmetric ``c6`` (8, C)."""
+    wp = _parts(w, "prod", exact=w.dtype == jnp.bfloat16)
+    c6p = _parts(c6, "prod")
     Y = None                                   # Y[3a+c] = sum_b W[3a+b] C[b,c]
     for b in range(3):
         pw = _iota01((27, w.shape[0]), lambda r, b=b: 3 * (r // 3) + b,
                      lambda c: c)
         pc = _iota01((27, c6.shape[0]), lambda r, b=b: _sym6(b, r % 3),
                      lambda c: c)
-        term = _dot(pw, w, ((1,), (0,))) * _dot(pc, c6, ((1,), (0,)))
+        term = (_dotp(pw, wp, ((1,), (0,)), "rhs")
+                * _dotp(pc, c6p, ((1,), (0,)), "rhs"))
         Y = term if Y is None else Y + term
+    Yp = _parts(Y, "prod")
     out = None                                 # out[9a+d] = sum_c Y[3a+c] W[3d+c]
     for c in range(3):
         py = _iota01((81, 27), lambda r, c=c: 3 * (r // 9) + c,
                      lambda cc: cc)
         pw2 = _iota01((81, w.shape[0]), lambda r, c=c: 3 * (r % 9) + c,
                       lambda cc: cc)
-        term = _dot(py, Y, ((1,), (0,))) * _dot(pw2, w, ((1,), (0,)))
+        term = (_dotp(py, Yp, ((1,), (0,)), "rhs")
+                * _dotp(pw2, wp, ((1,), (0,)), "rhs"))
         out = term if out is None else out + term
     return out
 
@@ -934,6 +1030,7 @@ _JC0, _JP0, _R0 = 0, 18, 24
 
 def _prod_cam90(x, _):
     """Per-row [Jc'Jc (81, r = 9a+d); Jc'r (9)] from stacked JR rows."""
+    xp = _parts(x, "prod")
     out = None
     for i in range(2):
         pa = _iota01((90, x.shape[0]),
@@ -943,7 +1040,8 @@ def _prod_cam90(x, _):
                      lambda r, i=i: jnp.where(r < 81, 9 * i + r % 9,
                                               _R0 + i),
                      lambda c: c)
-        term = _dot(pa, x, ((1,), (0,))) * _dot(pb, x, ((1,), (0,)))
+        term = (_dotp(pa, xp, ((1,), (0,)), "rhs")
+                * _dotp(pb, xp, ((1,), (0,)), "rhs"))
         out = term if out is None else out + term
     return out
 
@@ -952,6 +1050,7 @@ def _prod_pnt12(x, _):
     """Per-row [Jp'Jp (9, r = 3b+e); Jp'r (3)] from the (16, C) sublane
     window [16:32) of JR_t — Jp at rows 2-7, r at rows 8-9."""
     jp0, r0 = _JP0 - 16, _R0 - 16
+    xp = _parts(x, "prod")
     out = None
     for i in range(2):
         pa = _iota01((12, x.shape[0]),
@@ -962,7 +1061,8 @@ def _prod_pnt12(x, _):
                      lambda r, i=i: jnp.where(r < 9, jp0 + 3 * i + r % 3,
                                               r0 + i),
                      lambda c: c)
-        term = _dot(pa, x, ((1,), (0,))) * _dot(pb, x, ((1,), (0,)))
+        term = (_dotp(pa, xp, ((1,), (0,)), "rhs")
+                * _dotp(pb, xp, ((1,), (0,)), "rhs"))
         out = term if out is None else out + term
     return out
 

@@ -12,6 +12,7 @@ Methodology: scripts/_bench_util.py (arrays as jit args, loop-amortized,
 fetch-bracketed).
 """
 
+import os
 import sys
 
 import jax
@@ -54,6 +55,17 @@ def main(ncams=356, npnts=226730, obs_per_pnt=6):
 
     timed("schur_matvec", mv, jnp.float32(0.0), (sys_,),
           nbytes=(2 * 32 + 16 + 8 + 2 * 4) * f32 * n, n_hi=32)
+
+    # bf16 W storage variant (the facto_dtype=bf16 matvec configuration):
+    # halves the streamed W bytes; measures whether the byte saving
+    # survives the in-kernel upconvert (BENCH_r02 showed a regression).
+    if os.environ.get("BA_SWEEP_WDTYPE", "") == "bf16":
+        sys_bf = sys_._replace(
+            W_t=None if sys_.W_t is None else sys_.W_t.astype(jnp.bfloat16),
+            W_cam_t=None if sys_.W_cam_t is None
+            else sys_.W_cam_t.astype(jnp.bfloat16))
+        timed("schur_matvec_bf16W", mv, jnp.float32(0.0), (sys_bf,),
+              nbytes=(32 + 16 + 8 + 2 * 4) * f32 * n, n_hi=32)
 
     # jtj reduces need the stacked JR arrays; rebuild once.
     from bundleadjustment_jl_tpu.ops import pallas_linearize
