@@ -32,7 +32,8 @@ from bundleadjustment_jl_tpu.ops.blockmul import (
     jc_dot, jcT_dot, jp_dot, jpT_dot)
 from bundleadjustment_jl_tpu.ops.normal import (
     GNBlocks, damp, inv3x3, seg_by_cam, seg_by_pnt)
-from bundleadjustment_jl_tpu.ops.pcg import block_cho_solve, block_cholesky
+from bundleadjustment_jl_tpu.ops.pcg import (
+    block_jacobi_apply, block_jacobi_inverse)
 
 
 class CGLSResult(NamedTuple):
@@ -66,11 +67,12 @@ def cgls_solve(problem: BAProblem, blocks: GNBlocks, lam,
     relative preconditioned-gradient tolerance ``rtol``.
     """
     sqlam = jnp.sqrt(lam)
-    Lc = block_cholesky(damp(blocks.Hcc, lam))
+    Mc_inv = block_jacobi_inverse(damp(blocks.Hcc, lam))
     Pp = inv3x3(damp(blocks.Hpp, lam))
 
     def precond(vc, vp):
-        return block_cho_solve(Lc, vc), jnp.einsum("pab,pb->pa", Pp, vp)
+        return (block_jacobi_apply(Mc_inv, vc),
+                jnp.einsum("pab,pb->pa", Pp, vp))
 
     def dot(ac, ap, bc, bp):
         return jnp.sum(ac * bc) + jnp.sum(ap * bp)

@@ -48,7 +48,7 @@ import numpy as np
 from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.normal import assemble_blocks, gradient_norm
 from bundleadjustment_jl_tpu.ops.pcg import (
-    block_cho_solve, block_cholesky, forcing_rtol, pcg)
+    block_jacobi_apply, block_jacobi_inverse, forcing_rtol, pcg)
 from bundleadjustment_jl_tpu.ops.residuals import residuals
 from bundleadjustment_jl_tpu.ops.schur import (
     back_substitute, reduce_system, schur_diag_blocks, schur_matvec,
@@ -185,11 +185,11 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
         # PBA-style Neumann series on the reduced camera system
         from bundleadjustment_jl_tpu.ops.pcg import power_series
         sys = reduce_system(problem, blocks, lam)
-        L_M = block_cholesky(sys.Hcc_l)
+        M_inv = block_jacobi_inverse(sys.Hcc_l)
         res = power_series(
             lambda v: schur_matvec(sys, v), sys.b,
             lambda v: jnp.einsum("cab,cb->ca", sys.Hcc_l, v),
-            lambda v: block_cho_solve(L_M, v),
+            lambda v: block_jacobi_apply(M_inv, v),
             rtol=pcg_rtol, max_terms=pcg_max_iters)
         dc, cg_iters = res.x, res.iters
         dp = back_substitute(sys, dc)
@@ -201,9 +201,9 @@ def _compute_step(problem: BAProblem, blocks, lam, pcg_rtol,
     else:
         from bundleadjustment_jl_tpu.ops.schur import reduce_and_diag
         sys, Sd = reduce_and_diag(problem, blocks, lam)
-        L = block_cholesky(Sd)
+        M_inv = block_jacobi_inverse(Sd)
         res = pcg(lambda v: schur_matvec(sys, v), sys.b,
-                  lambda v: block_cho_solve(L, v),
+                  lambda v: block_jacobi_apply(M_inv, v),
                   rtol=pcg_rtol, max_iters=pcg_max_iters, x0=dc0)
         dc, cg_iters = res.x, res.iters
         dp = back_substitute(sys, dc)

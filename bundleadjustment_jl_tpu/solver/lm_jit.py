@@ -37,7 +37,7 @@ from bundleadjustment_jl_tpu.models.problem import BAProblem
 from bundleadjustment_jl_tpu.ops.blockmul import jc_dot, jp_dot
 from bundleadjustment_jl_tpu.ops.normal import assemble_blocks, gradient_norm
 from bundleadjustment_jl_tpu.ops.pcg import (
-    block_cho_solve, block_cholesky, forcing_rtol, pcg)
+    block_jacobi_apply, block_jacobi_inverse, forcing_rtol, pcg)
 from bundleadjustment_jl_tpu.ops import spmdctx
 from bundleadjustment_jl_tpu.ops.residuals import residuals
 from bundleadjustment_jl_tpu.ops.schur import (
@@ -308,11 +308,11 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         elif use_power:
             from bundleadjustment_jl_tpu.ops.pcg import power_series
             sys = reduce_system(problem, blocks, lam_f)
-            L_M = block_cholesky(sys.Hcc_l)
+            M_inv = block_jacobi_inverse(sys.Hcc_l)
             pres = power_series(
                 lambda v: schur_matvec(sys, v), sys.b,
                 lambda v: jnp.einsum("cab,cb->ca", sys.Hcc_l, v),
-                lambda v: block_cho_solve(L_M, v),
+                lambda v: block_jacobi_apply(M_inv, v),
                 rtol=rtol_cg, max_terms=pcg_max_iters)
             dc, cg_iters = pres.x, pres.iters
             dp, Jd2_nc = back_substitute_quad(problem, blocks, sys, dc)
@@ -325,14 +325,14 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             # reduced RHS + exact S diagonal (fused to one W stream on
             # the camera-scatter path)
             sys, Sd = reduce_and_diag(problem, blocks, lam_f)
-            L = block_cholesky(Sd)
+            M_inv = block_jacobi_inverse(Sd)
             # Warm start from the previous LM iteration's camera step (the
             # reduced system changes only through lambda and the accepted
             # re-linearization) — saves CG matvecs late in the solve.
             x0 = st["dc"].reshape(-1, 9).astype(sys.b.dtype) \
                 if pcg_warm else None
             res = pcg(lambda v: schur_matvec(sys, v), sys.b,
-                      lambda v: block_cho_solve(L, v),
+                      lambda v: block_jacobi_apply(M_inv, v),
                       rtol=rtol_cg, max_iters=pcg_max_iters, x0=x0)
             dc, cg_iters = res.x, res.iters
             # back-substitution + quad-form cross term share one W stream

@@ -63,10 +63,15 @@ def bucket(name: str) -> str:
     return "other"
 
 
+FACTO = {"bf16": "bfloat16", "f16": "float16"}.get(
+    os.environ.get("BA_PROFILE_FACTO", ""), None)
+
+
 def solve(problem):
     return levenberg_marquardt_jit(
         problem, max_iters=100, pcg_max_iters=100, lam0_mode="diag",
-        satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4)
+        satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5, oatol=0.0, ortol=1e-4,
+        facto_dtype=FACTO)
 
 
 def main(ncams=356, npnts=226730, obs_per_pnt=6):
