@@ -105,28 +105,37 @@ def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable,
 
     r0 = b - matvec(x0)
     z0 = precond(r0)
-    state0 = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32))
+    state0 = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32),
+              jnp.asarray(False))
 
     def cond(state):
-        x, r, z, p, rz, it = state
-        return jnp.logical_and(it < max_iters,
-                               jnp.sqrt(dot(r, r)) > tol)
+        x, r, z, p, rz, it, down = state
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iters, jnp.logical_not(down)),
+            jnp.sqrt(dot(r, r)) > tol)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, it, _ = state
         Sp = matvec(p)
         pSp = dot(p, Sp)
-        # Guard against breakdown (pSp <= 0 on near-singular systems).
-        alpha = jnp.where(pSp > 0.0, rz / pSp, 0.0)
+        # Breakdown (pSp <= 0: S numerically indefinite — e.g. the
+        # low-precision-W perturbed Schur complement at small lambda) is
+        # a STOP, not a guard: with alpha forced to 0 the recurrence
+        # spins unchanged until max_iters (measured: 278 vs 69 total
+        # matvecs at Dubrovnik-356 with bf16 W). Returning the current
+        # iterate is standard CG practice; LM's gain-ratio acceptance
+        # handles the inexact step.
+        down = pSp <= 0.0
+        alpha = jnp.where(down, 0.0, rz / jnp.where(down, 1.0, pSp))
         x = x + alpha * p
         r = r - alpha * Sp
         z = precond(r)
         rz_new = dot(r, z)
         beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        return (x, r, z, p, rz_new, it + 1, down)
 
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state0)
+    x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, state0)
     return PCGResult(x=x, iters=it,
                      rel_res=jnp.sqrt(dot(r, r)) / bnorm_safe)
 

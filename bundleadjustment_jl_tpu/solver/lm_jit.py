@@ -299,6 +299,15 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
 
         rtol_cg = (forcing_rtol(gnorm) if use_forcing
                    else hp["pcg_rtol"]).astype(dtype)
+        if facto_dtype is not None:
+            # Low-precision W bounds the achievable matvec accuracy: CG
+            # cannot converge below ~eps(facto) relative residual and
+            # stagnates there burning matvecs (measured: 278 vs 69 CG
+            # matvecs at Dubrovnik-356 with bf16 W before this floor,
+            # logs/profile_r3b_dub_bf16.log). LM absorbs the inexact
+            # step via its gain-ratio acceptance (inexact-Newton).
+            floor = 0.5 * float(jnp.finfo(jnp.dtype(facto_dtype)).eps)
+            rtol_cg = jnp.maximum(rtol_cg, jnp.asarray(floor, dtype))
         lam_f = lam
         if use_cgls:
             from bundleadjustment_jl_tpu.ops.cgls import cgls_solve
