@@ -106,6 +106,23 @@ def test_pcg_matches_dense_solve(setup):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_pcg_breakdown_stops_early():
+    """An indefinite operator (the low-precision-W perturbed Schur
+    complement at small lambda) must STOP CG at breakdown, not spin with
+    alpha=0 until max_iters (the measured bf16-facto pathology)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(np.diag([1.0, 1.0, -1.0, 1.0] * 9))   # indefinite
+    b = jnp.asarray(rng.standard_normal((4, 9)))
+
+    res = pcg(lambda v: (A @ v.reshape(-1)).reshape(4, 9), b,
+              lambda v: v, rtol=1e-12, max_iters=200)
+    # CG must give up within a few iterations once p'Ap <= 0 appears,
+    # returning a finite iterate
+    assert int(res.iters) < 10
+    assert bool(jnp.all(jnp.isfinite(res.x)))
+
+
 def test_preconditioner_blocks_match_dense(setup):
     _, _, sys = setup
     S = np.asarray(assemble_dense_schur(sys))
