@@ -54,11 +54,23 @@ def _project_np(cams: np.ndarray, points: np.ndarray) -> np.ndarray:
 def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
                   noise_px: float = 0.5, perturb: float = 1e-3,
                   seed: int = 0, dtype=np.float64, pad_obs_to: int = 128,
-                  name: str | None = None) -> tuple[BAProblem, dict]:
+                  name: str | None = None,
+                  cam_window: int | float | None = None,
+                  ) -> tuple[BAProblem, dict]:
     """Generate a synthetic BA problem.
 
     Returns ``(problem, truth)`` where ``truth`` holds the ground-truth
     ``cams``/``points`` and the objective value at the truth.
+
+    ``cam_window``: covisibility locality. ``None`` (default) samples each
+    point's cameras uniformly — the WORST case for camera clustering.
+    Real BAL data clusters: LadyBug is a vehicle trajectory (points seen
+    by consecutive frames), Trafalgar/Venice are landmark photo clusters.
+    A window ``w`` (absolute count, or a fraction of ncams when < 1)
+    draws each point's cameras without replacement from a contiguous
+    wrapped window of ``w`` camera ids anchored per point — points with
+    nearby ids share nearby cameras, reproducing the covisibility
+    banding real BAL files show.
     """
     rng = np.random.default_rng(seed)
     obs_per_pnt = min(obs_per_pnt, ncams)
@@ -87,7 +99,22 @@ def synthetic_bal(ncams: int = 16, npnts: int = 256, obs_per_pnt: int = 4,
     # ratio is too high for rejection to converge quickly).
     pnt_idx = np.repeat(np.arange(npnts), obs_per_pnt)
     k = obs_per_pnt
-    if k > ncams // 2 or ncams <= 8:
+    if cam_window is not None:
+        w = int(round(cam_window * ncams)) if cam_window < 1 \
+            else int(cam_window)
+        w = min(max(w, k), ncams)
+        # anchor tied to the point id (sorted points -> banded covisibility,
+        # like a trajectory) plus jitter; k distinct offsets inside the
+        # window via per-row argsort of uniforms (exact, vectorized).
+        anchors = ((np.arange(npnts) * ncams) // max(npnts, 1)
+                   + rng.integers(0, max(w // 2, 1), size=npnts))
+        cam_rows = np.empty((npnts, k), dtype=np.int64)
+        step = max(1, (1 << 25) // w)      # bound the uniforms temp
+        for lo in range(0, npnts, step):
+            hi = min(lo + step, npnts)
+            offs = np.argsort(rng.random((hi - lo, w)), axis=1)[:, :k]
+            cam_rows[lo:hi] = (anchors[lo:hi, None] + offs) % ncams
+    elif k > ncams // 2 or ncams <= 8:
         cam_rows = np.empty((npnts, k), dtype=np.int64)
         for p in range(npnts):
             cam_rows[p] = rng.choice(ncams, size=k, replace=False)

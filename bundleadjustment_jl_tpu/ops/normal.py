@@ -238,11 +238,16 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     # copies at 1.4M obs. All per-step arrays therefore travel FLAT
     # (chunk*d,) and are reshaped outside the scan (both sides packed
     # row-major -> free). The pt2d slice must go through the FLAT view
-    # too: `pt2d[:nfull]` materializes an (nfull, 2) T(8,128) temp — 64x
-    # padding, 14.8 GB at Final-13682 (the measured _lm_init OOM there).
+    # too — AND behind an optimization barrier: XLA rewrites
+    # `pt2d.reshape(-1)[:nfull*2]` back into a slice of the (n, 2) view
+    # materialized with a T(8,128) layout — 64x padding, 14.6 GB at
+    # Final-13682 (the measured _lm_init OOM there, twice: round 2 and
+    # the round-3 re-attempt before this barrier). The barrier forces
+    # the packed 1-D copy instead.
+    pt2d_flat = jax.lax.optimization_barrier(problem.pt2d.reshape(-1))
     xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
           problem.pnt_idx[:nfull].reshape(nchunks, chunk),
-          problem.pt2d.reshape(-1)[:nfull * 2].reshape(nchunks, chunk * 2),
+          pt2d_flat[:nfull * 2].reshape(nchunks, chunk * 2),
           problem.w[:nfull].reshape(nchunks, chunk))
     carry0 = (jnp.zeros((nc * 9,), dt), jnp.zeros((np_ * 3,), dt),
               jnp.zeros((nc * 81,), dt), jnp.zeros((np_ * 9,), dt),
@@ -266,7 +271,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     if rem:
         dobj, dg_c, dg_p, dHcc, dHpp, W_t, (r_t, Jc_t, Jp_t) = block(
             problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
-            problem.pt2d.reshape(-1)[nfull * 2:], problem.w[nfull:], rem)
+            pt2d_flat[nfull * 2:], problem.w[nfull:], rem)
         obj = obj + dobj
         g_c, g_p = g_c + dg_c, g_p + dg_p
         Hcc, Hpp = Hcc + dHcc, Hpp + dHpp

@@ -31,6 +31,42 @@ def test_synthetic_consistency():
     assert seen.size == problem.ncams
 
 
+def test_synthetic_cam_window_locality():
+    """Covisibility-locality mode: BAL invariants hold (unique (cam, pnt)
+    pairs, every camera observed) and point-sorted tiles reference far
+    fewer distinct cameras than the uniform sampler — the structure real
+    BAL files (trajectories, landmark clusters) actually have."""
+    import numpy as np
+    kw = dict(ncams=64, npnts=2048, obs_per_pnt=4, noise_px=0.5,
+              perturb=1e-2, seed=3)
+    uni, _ = synthetic_bal(**kw)
+    loc, _ = synthetic_bal(cam_window=8, **kw)
+    for p in (uni, loc):
+        n = p.nobs
+        pairs = set(zip(np.asarray(p.cam_idx[:n]).tolist(),
+                        np.asarray(p.pnt_idx[:n]).tolist()))
+        assert len(pairs) == n                       # unique (cam, pnt)
+        assert len(set(np.asarray(p.cam_idx[:n]).tolist())) == 64
+
+    def mean_tile_cams(p, tile_pnts=256):
+        n = p.nobs
+        ci = np.asarray(p.cam_idx[:n])
+        pi = np.asarray(p.pnt_idx[:n])
+        counts = [len(set(ci[(pi >= lo) & (pi < lo + tile_pnts)].tolist()))
+                  for lo in range(0, 2048, tile_pnts)]
+        return float(np.mean(counts))
+
+    assert mean_tile_cams(loc) < 0.5 * mean_tile_cams(uni)
+
+    # and the solver converges on the banded problem
+    from bundleadjustment_jl_tpu.solver.lm_jit import (
+        STATUS_NAMES, levenberg_marquardt_jit)
+    res = levenberg_marquardt_jit(loc, max_iters=40)
+    assert STATUS_NAMES[int(res.status)] != "exception"
+    nequ = 2 * loc.nobs
+    assert (2 * float(res.objective) / nequ) ** 0.5 < 1.0  # ~noise floor
+
+
 def test_bal_roundtrip(tmp_path):
     problem, _ = synthetic_bal(ncams=4, npnts=20, obs_per_pnt=3,
                                seed=3, pad_obs_to=8)
