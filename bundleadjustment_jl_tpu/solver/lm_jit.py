@@ -54,6 +54,11 @@ MAX_ITER = 5
 EXCEPTION = 6
 MAX_TIME = 7
 
+# Above this many bytes of batched (S, nobs, 9) trial-scale camera gather,
+# the linesearch objectives are evaluated serially (lax.map) instead of
+# vmapped — see the comment at the use site.
+TRIAL_VMAP_MAX_BYTES = 1 << 30
+
 STATUS_NAMES = {
     FIRST_ORDER: "first_order",
     SMALL_RESIDUAL: "small_residual",
@@ -399,7 +404,17 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             def trial_obj(s):
                 return _objective(problem, cams + s * dc, points + s * dp)
 
-            objs_t = jax.vmap(trial_obj)(scales)
+            # vmapping S trial scales materializes an (S, nobs, 9) camera
+            # gather in one fusion — ~20 GB at Venice-1778 (measured
+            # compile-time HBM OOM, logs/grand_r3/venice1778_matrix.log).
+            # Serialize the scales with lax.map once the batched gather
+            # would exceed TRIAL_VMAP_MAX_BYTES; the linesearch is off the
+            # hot path (one evaluation per LM iteration, S<=5).
+            batched_gather_bytes = int(scales.shape[0]) * problem.nobs_pad * 9 * 4
+            if batched_gather_bytes > TRIAL_VMAP_MAX_BYTES:
+                objs_t = jax.lax.map(trial_obj, scales)
+            else:
+                objs_t = jax.vmap(trial_obj)(scales)
         preds = -scales * gd - 0.5 * scales * scales * Jd2
         areds = obj - objs_t
         ok = jnp.logical_and(

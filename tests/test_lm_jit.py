@@ -54,6 +54,31 @@ def test_jit_linesearch_variant():
         "first_order", "small_step", "small_residual", "small_obj_change")
 
 
+def test_jit_linesearch_serial_trials_match_vmapped(monkeypatch):
+    """Large-problem linesearch path: trial objectives via lax.map must be
+    bit-identical to the vmapped evaluation (the vmapped form materializes
+    an (S, nobs, 9) gather that OOMs HBM at Venice scale —
+    logs/grand_r3/venice1778_matrix.log)."""
+    from bundleadjustment_jl_tpu.solver import lm_jit
+
+    problem, _ = synthetic_bal(ncams=6, npnts=40, obs_per_pnt=3,
+                               noise_px=0.3, perturb=5e-3, seed=13)
+    ref = levenberg_marquardt_jit(problem, max_iters=25, linesearch=True)
+    # _lm_run is jitted at module scope: clear its cache so the
+    # monkeypatched threshold actually retraces the loop body.
+    monkeypatch.setattr(lm_jit, "TRIAL_VMAP_MAX_BYTES", 0)
+    lm_jit._lm_run.clear_cache()
+    lm_jit._lm_init.clear_cache()
+    try:
+        ser = levenberg_marquardt_jit(problem, max_iters=25, linesearch=True)
+    finally:
+        lm_jit._lm_run.clear_cache()
+        lm_jit._lm_init.clear_cache()
+    assert int(ser.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(ser.hist_obj),
+                                  np.asarray(ref.hist_obj))
+
+
 def test_jit_dense_solver_variant():
     problem, _ = synthetic_bal(ncams=5, npnts=30, obs_per_pnt=3,
                                noise_px=0.2, perturb=2e-3, seed=14)
