@@ -54,10 +54,14 @@ MAX_ITER = 5
 EXCEPTION = 6
 MAX_TIME = 7
 
-# Above this many bytes of batched (S, nobs, 9) trial-scale camera gather,
-# the linesearch objectives are evaluated serially (lax.map) instead of
-# vmapped — see the comment at the use site.
-TRIAL_VMAP_MAX_BYTES = 1 << 30
+# Above this many UNPADDED bytes of batched (S, nobs, 9) trial-scale camera
+# gather, the linesearch objectives are evaluated serially (lax.map) instead
+# of vmapped — see the comment at the use site. The limit is deliberately
+# far below HBM: XLA materializes the batched gather with a T(8,128) tile
+# layout over the (S, 9) minor dims, a measured 22.7x padding expansion
+# (f32[4473856,5,9] -> 18.3 GB at Venice-1350,
+# logs/grand_r3/venice1350_matrix.log).
+TRIAL_VMAP_MAX_BYTES = 1 << 26
 
 STATUS_NAMES = {
     FIRST_ORDER: "first_order",
