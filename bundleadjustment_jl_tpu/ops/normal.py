@@ -235,19 +235,20 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
 
     # NB: scan xs/ys buffers keep the per-step shape as minor dims, and TPU
     # tile-pads minor dims (2,9)->(8,128) etc. — measured 4+ GB of padding
-    # copies at 1.4M obs. All per-step arrays therefore travel FLAT
+    # copies at 1.4M obs. The 1-D per-step arrays therefore travel FLAT
     # (chunk*d,) and are reshaped outside the scan (both sides packed
-    # row-major -> free). The pt2d slice must go through the FLAT view
-    # too — AND behind an optimization barrier: XLA rewrites
-    # `pt2d.reshape(-1)[:nfull*2]` back into a slice of the (n, 2) view
-    # materialized with a T(8,128) layout — 64x padding, 14.6 GB at
-    # Final-13682 (the measured _lm_init OOM there, twice: round 2 and
-    # the round-3 re-attempt before this barrier). The barrier forces
-    # the packed 1-D copy instead.
-    pt2d_flat = jax.lax.optimization_barrier(problem.pt2d.reshape(-1))
+    # row-major -> free). pt2d must NOT travel as xs at all: every
+    # whole-array reform of the (n, 2) input — the xs slice directly
+    # (round 2), `pt2d.reshape(-1)` (round-3 first retry), and the same
+    # reshape behind an optimization_barrier (second retry) — made XLA
+    # materialize a T(8,128)-layout copy of all n rows: 64x padding,
+    # 14.9 GB, the measured _lm_init OOM at Final-13682
+    # (logs/r3b/driver2.log). Instead each step dynamic-slices its
+    # (chunk, 2) window straight out of the parameter inside the body —
+    # only the per-chunk window ever materializes.
     xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
           problem.pnt_idx[:nfull].reshape(nchunks, chunk),
-          pt2d_flat[:nfull * 2].reshape(nchunks, chunk * 2),
+          jnp.arange(nchunks, dtype=jnp.int32) * chunk,
           problem.w[:nfull].reshape(nchunks, chunk))
     carry0 = (jnp.zeros((nc * 9,), dt), jnp.zeros((np_ * 3,), dt),
               jnp.zeros((nc * 81,), dt), jnp.zeros((np_ * 9,), dt),
@@ -255,9 +256,10 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
 
     def body(carry, x):
         g_c, g_p, Hcc, Hpp, obj = carry
-        ci, pi, xy_f, w = x
+        ci, pi, row0, w = x
+        xy = jax.lax.dynamic_slice(problem.pt2d, (row0, 0), (chunk, 2))
         dobj, dg_c, dg_p, dHcc, dHpp, W, (r, Jc_f, Jp_f) = block(
-            ci, pi, xy_f, w, chunk)
+            ci, pi, xy.reshape(-1), w, chunk)
         ys = (W.reshape(-1),) if not with_jr else (
             W.reshape(-1), r.reshape(-1), Jc_f, Jp_f)
         return (g_c + dg_c, g_p + dg_p, Hcc + dHcc, Hpp + dHpp,
@@ -271,7 +273,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     if rem:
         dobj, dg_c, dg_p, dHcc, dHpp, W_t, (r_t, Jc_t, Jp_t) = block(
             problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
-            pt2d_flat[nfull * 2:], problem.w[nfull:], rem)
+            problem.pt2d[nfull:].reshape(-1), problem.w[nfull:], rem)
         obj = obj + dobj
         g_c, g_p = g_c + dg_c, g_p + dg_p
         Hcc, Hpp = Hcc + dHcc, Hpp + dHpp

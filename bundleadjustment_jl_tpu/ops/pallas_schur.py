@@ -475,14 +475,73 @@ def tile_bounds(starts: jnp.ndarray, nseg: int,
 
 def to_k_minor(W_f: jnp.ndarray) -> jnp.ndarray:
     """Flat (n_pad*27,) row-major W blocks → k-minor (K_PAD, n_pad),
-    entries 27..31 zero (Mosaic DMA slices need 8-multiple sublanes)."""
-    Wt = W_f.reshape(-1, 27).T
-    return jnp.pad(Wt, ((0, K_PAD - 27), (0, 0)))
+    entries 27..31 zero (Mosaic DMA slices need 8-multiple sublanes).
+
+    The transpose input materializes (n, 27) tile-padded 27 -> 128; at
+    Final-13682 that is a 7.4 GB bf16 temp, so large n transposes in
+    GATHER_CHUNK-row chunks (same threshold discipline as
+    :func:`gather_k_minor`)."""
+    n = W_f.size // 27
+    itemsize = jnp.dtype(W_f.dtype).itemsize
+    if n * 128 * itemsize <= GATHER_DIRECT_MAX_BYTES:
+        Wt = W_f.reshape(-1, 27).T
+        return jnp.pad(Wt, ((0, K_PAD - 27), (0, 0)))
+    chunk = GATHER_CHUNK
+    nchunks = n // chunk
+    nfull = nchunks * chunk
+
+    def step(_, w):
+        return None, jnp.pad(w.reshape(chunk, 27).T,
+                             ((0, K_PAD - 27), (0, 0)))
+
+    _, ys = jax.lax.scan(
+        step, None, W_f[:nfull * 27].reshape(nchunks, chunk * 27))
+    out = ys.transpose(1, 0, 2).reshape(K_PAD, nfull)
+    if n > nfull:
+        tail = jnp.pad(W_f[nfull * 27:].reshape(-1, 27).T,
+                       ((0, K_PAD - 27), (0, 0)))
+        out = jnp.concatenate([out, tail], axis=1)
+    return out
 
 
 def pad_rows(x_t: jnp.ndarray, rows: int) -> jnp.ndarray:
     """Zero-pad a k-minor (d, n) operand to ``rows`` sublanes."""
     return jnp.pad(x_t, ((0, rows - x_t.shape[0]), (0, 0)))
+
+
+# XLA lowers a k-minor column gather `t[:, idx]` as a ROW gather plus a
+# relayout copy, and the row-major (n, d) intermediate tile-pads d -> 128:
+# measured 14.9 GB for f32[31.2M, 9] at Final-13682
+# (logs/probe_final_compile2.log) vs a harmless 2.5 GB at Venice-5M.
+# Above GATHER_DIRECT_MAX_BYTES of padded temp the gather is chunked
+# through a lax.scan (GATHER_CHUNK rows per step, bounding the temp to
+# ~128 MB) — the threshold deliberately leaves every Venice/Dubrovnik
+# shape on the direct form so their compiled programs are unchanged.
+GATHER_CHUNK = int(_os.environ.get("BA_GATHER_CHUNK", 1 << 18))
+GATHER_DIRECT_MAX_BYTES = int(
+    _os.environ.get("BA_GATHER_DIRECT_MAX", 4 << 30))
+
+
+def gather_k_minor(t16: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``t16[:, idx]`` — k-minor (d, m) table gathered to (d, n) — with the
+    row-major relayout temp bounded at large n (see GATHER_CHUNK)."""
+    n = idx.shape[0]
+    d = t16.shape[0]
+    itemsize = jnp.dtype(t16.dtype).itemsize
+    if n * 128 * itemsize <= GATHER_DIRECT_MAX_BYTES:
+        return t16[:, idx]
+    chunk = GATHER_CHUNK
+    nchunks = n // chunk
+    nfull = nchunks * chunk
+
+    def step(_, ix):
+        return None, t16[:, ix]
+
+    _, ys = jax.lax.scan(step, None, idx[:nfull].reshape(nchunks, chunk))
+    out = ys.transpose(1, 0, 2).reshape(d, nfull)
+    if n > nfull:
+        out = jnp.concatenate([out, t16[:, idx[nfull:]]], axis=1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1071,7 +1130,7 @@ def hpp_inv_sym6_t(hpp_inv_f: jnp.ndarray, pnt_idx_rows) -> jnp.ndarray:
     """Packed-symmetric ``Hpp_inv`` per row, k-minor (8, n): the 6 unique
     entries [m00,m01,m02,m11,m12,m22] gathered by ``pnt_idx_rows``."""
     h6 = hpp_inv_f.reshape(-1, 9)[:, jnp.array([0, 1, 2, 4, 5, 8])]
-    return pad_rows(h6.T[:, pnt_idx_rows], 8)
+    return gather_k_minor(pad_rows(h6.T, 8), pnt_idx_rows)
 
 
 def wcw_cam_reduce(W_cam_t, c6_cam_t, cam_ids_sorted, cam_starts, ncams, *,
@@ -1134,7 +1193,7 @@ def wtv_point_reduce(W_t, v, pnt_idx, cam_idx, pnt_starts, npnts, *,
         interpret = INTERPRET
     bounds = tile_bounds(pnt_starts, npnts)
     if v.shape[0] > GATHER_TABLE_MAX_CAMS:
-        xt = pad_rows(v.T, 16)[:, cam_idx]
+        xt = gather_k_minor(pad_rows(v.T, 16), cam_idx)
         return _seg_block_reduce(
             W_t, pnt_idx, bounds, npnts, d_x=9, d_out=3,
             xt_obs=xt, diag=hpp_inv_f, add=add_gp, sign=sign,

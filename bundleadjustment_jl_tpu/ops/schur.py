@@ -158,7 +158,9 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
             W_t = pallas_schur.to_k_minor(blocks.W_f)
             sys = sys._replace(W_t=W_t)
             if not pallas_schur.cam_scatter_ok(sys, ncams):
-                sys = sys._replace(W_cam_t=W_t[:, sys.cam_perm])
+                sys = sys._replace(
+                    W_cam_t=pallas_schur.gather_k_minor(
+                        W_t, sys.cam_perm))
         # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
         tmp8 = pallas_schur.pad_rows(tmp.T, 8)
         corr = spmdctx.psum(_cam_dir_reduce(sys, tmp8).astype(tmp.dtype))
@@ -183,7 +185,9 @@ def _cam_dir_reduce(sys: SchurSystem, op8: jnp.ndarray) -> jnp.ndarray:
             sys.W_t, sys.cam_idx, bounds, ncams, d_out=9,
             prod=pallas_schur._prod_w_op, idx_row=sys.pnt_idx, op_t=op8)
     return pallas_schur.wt_cam_reduce(
-        sys.W_cam_t, op8[:, sys.pnt_idx[sys.cam_perm]],
+        sys.W_cam_t,
+        pallas_schur.gather_k_minor(op8,
+                                    sys.pnt_idx[sys.cam_perm]),
         sys.cam_idx[sys.cam_perm], sys.cam_starts, ncams)
 
 
@@ -263,6 +267,15 @@ def back_substitute_quad(problem: BAProblem, blocks: GNBlocks,
             .astype(t_c.dtype))
         return dp, t_c + 2.0 * cross + t_p
     dp = back_substitute(sys, dc)
+    if blocks.W_t is None and sys.W_t is not None:
+        # Non-k-minor mode (Final-scale fallback): the blocks carry only
+        # flat W_f, but reduce_system built the per-lambda k-minor W_t /
+        # W_cam_t — hand them to quad_form so its cross term runs the
+        # fused stream instead of the XLA (n, 27) path, whose tiled
+        # operands are a measured 14.9 GB compile-time OOM at
+        # Final-13682 (logs/probe_final_compile.log).
+        blocks = blocks._replace(W_t=sys.W_t, W_cam_t=sys.W_cam_t,
+                                 w_scale=sys.w_scale)
     return dp, quad_form(problem, blocks, dc, dp)
 
 
@@ -442,7 +455,8 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
         else:
             cross_cam = pallas_schur.wt_cam_reduce(
                 blocks.W_cam_t,
-                dp8[:, problem.pnt_idx[problem.cam_perm]],
+                pallas_schur.gather_k_minor(
+                    dp8, problem.pnt_idx[problem.cam_perm]),
                 problem.cam_idx[problem.cam_perm], problem.cam_starts,
                 problem.ncams)
         return t_c + 2.0 * spmdctx.psum(

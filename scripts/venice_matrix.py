@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--skip-existing", action="store_true")
     ap.add_argument("--problems", type=str, default="0,1,2",
                     help="comma list of PROBLEMS indices")
+    ap.add_argument("--cam-window", type=float, default=None,
+                    help="covisibility-locality window (synthetic_bal "
+                         "cam_window); same shapes as the uniform problem "
+                         "so the compiled executables are reused. Rows get "
+                         "a -locW problem-name suffix.")
     a = ap.parse_args()
 
     pallas_schur.set_mode(jax.default_backend() == "tpu")
@@ -83,6 +88,8 @@ def main():
         family, ncams, npnts, opp = PROBLEMS[pi]
         name, cam_scatter, bf16, ls = configs()[ci]
         pname = f"{family}-{ncams}-{npnts}-synth"
+        if a.cam_window is not None:
+            pname += f"-loc{a.cam_window:g}"
         if (pname, name) in done:
             print(f"[skip] {pname} {name}", flush=True)
             continue
@@ -90,7 +97,7 @@ def main():
         problem, _ = synthetic_bal(
             ncams=ncams, npnts=npnts, obs_per_pnt=opp, noise_px=1.0,
             perturb=2e-2, seed=ncams, dtype=jnp.float32, pad_obs_to=512,
-            name=pname)
+            name=pname, cam_window=a.cam_window)
         problem = jax.device_put(problem)
         float(sum(jnp.sum(x.astype(jnp.float32))
                   for x in jax.tree.leaves(problem)))

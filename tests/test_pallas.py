@@ -152,6 +152,60 @@ def test_schur_diag_pallas_dispatch(sys_v):
     assert float(jnp.max(jnp.abs(got - oracle))) <= _tol(oracle)
 
 
+def test_gather_k_minor_chunked_matches_direct(monkeypatch):
+    """Chunked (Final-scale) k-minor gather / transpose == the direct
+    forms, including the non-divisible remainder tail."""
+    rng = np.random.default_rng(7)
+    t16 = jnp.asarray(rng.standard_normal((16, 37)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 37, size=2 * 300 + 17), jnp.int32)
+    direct = t16[:, idx]
+    W_f = jnp.asarray(rng.standard_normal(617 * 27), jnp.float32)
+    k_direct = pallas_schur.to_k_minor(W_f)
+    monkeypatch.setattr(pallas_schur, "GATHER_DIRECT_MAX_BYTES", 0)
+    monkeypatch.setattr(pallas_schur, "GATHER_CHUNK", 300)
+    np.testing.assert_array_equal(
+        np.asarray(pallas_schur.gather_k_minor(t16, idx)),
+        np.asarray(direct))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_schur.to_k_minor(W_f)), np.asarray(k_direct))
+
+
+def test_solver_non_kminor_pallas_matches_kminor(monkeypatch):
+    """The Final-scale fallback configuration: Pallas mode ON but the
+    k-minor carried assembly disabled (nobs > KMINOR_MAX_OBS there).  The
+    solver must build W_t per lambda (schur.reduce_system) and still run
+    the fused matvec / back-substitution / quad-form streams — the XLA
+    (n, 27) forms tile-pad to a measured 14.9 GB compile-time OOM at
+    Final-13682 (logs/probe_final_compile.log)."""
+    from bundleadjustment_jl_tpu.solver import lm_jit
+
+    prob, _ = synthetic_bal(ncams=8, npnts=256, obs_per_pnt=4, seed=5,
+                            dtype=jnp.float32, noise_px=1.0, perturb=2e-2,
+                            pad_obs_to=1024)
+    opts = dict(max_iters=15, pcg_max_iters=60, lam0_mode="diag",
+                facto_dtype=jnp.bfloat16)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        ref = levenberg_marquardt_jit(prob, **opts)
+        # KMINOR_MAX_OBS is read at trace time from a static problem
+        # attribute: clear the jit caches so the monkeypatch retraces.
+        monkeypatch.setattr(lm_jit, "KMINOR_MAX_OBS", 0)
+        lm_jit._lm_init.clear_cache()
+        lm_jit._lm_run.clear_cache()
+        try:
+            got = levenberg_marquardt_jit(prob, **opts)
+        finally:
+            lm_jit._lm_init.clear_cache()
+            lm_jit._lm_run.clear_cache()
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    assert int(got.iterations) == int(ref.iterations)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-4 * max(1.0, robj)
+
+
 def test_kminor_assembly_matches_xla():
     """Fused-kernel assembly == XLA assembly on every block, and the
     k-minor W operands match the transposed/permuted W_f."""
