@@ -433,11 +433,45 @@ def inv3x3_damped_flat(Hpp_f: jnp.ndarray, lam) -> jnp.ndarray:
     (row-major j = 3a + b) — the (P, 3, 3) shaped intermediates of the
     shaped path can be materialized tile-padded ({2,1,0:T(8,128)}, up to
     113x) inside the TPU while body at BAL point counts; column slices of
-    a (P, 9) view stay fused. Same conditioning guard as :func:`inv3x3`."""
+    a (P, 9) view stay fused. Same conditioning guard as :func:`inv3x3`.
+
+    At Final-13682 point counts even the flat form's stack feeds nine
+    (P, 1) buffers each lane-padded to (P, 128) — 9 x 2.12 GB measured
+    (logs/probe_final_compile4.log) — so very large P streams the same
+    computation through a fori_loop in bounded chunks."""
     dt = Hpp_f.dtype
     if dt in (jnp.bfloat16, jnp.float16):
         return inv3x3_damped_flat(Hpp_f.astype(jnp.float32),
                                   lam).astype(dt)
+    from bundleadjustment_jl_tpu.ops import pallas_schur as _ps
+    P = Hpp_f.size // 9
+    # ~10 lane-padded (P, 128) buffers are live at once in the direct
+    # form (9 adjugate columns + the stacked result), so the budget is
+    # per-buffer: GATHER_DIRECT_MAX_BYTES / 10.
+    if P * 128 * jnp.dtype(dt).itemsize > _ps.GATHER_DIRECT_MAX_BYTES // 10:
+        chunk = _ps.GATHER_CHUNK
+        nchunks = P // chunk
+        nfull = nchunks * chunk
+
+        def step(i, out):
+            blk = jax.lax.dynamic_slice(
+                Hpp_f, (i * (chunk * 9),), (chunk * 9,))
+            return jax.lax.dynamic_update_slice(
+                out, _inv3x3_damped_flat_direct(blk, lam),
+                (i * (chunk * 9),))
+
+        out = jax.lax.fori_loop(
+            0, nchunks, step, jnp.zeros((P * 9,), dt))
+        if P > nfull:
+            out = jax.lax.dynamic_update_slice(
+                out, _inv3x3_damped_flat_direct(Hpp_f[nfull * 9:], lam),
+                (nfull * 9,))
+        return out
+    return _inv3x3_damped_flat_direct(Hpp_f, lam)
+
+
+def _inv3x3_damped_flat_direct(Hpp_f: jnp.ndarray, lam) -> jnp.ndarray:
+    dt = Hpp_f.dtype
     M = Hpp_f.reshape(-1, 9)
     lam = jnp.asarray(lam, dt)
     a, b, c = M[:, 0] + lam, M[:, 1], M[:, 2]

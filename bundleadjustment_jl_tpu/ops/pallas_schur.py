@@ -490,17 +490,16 @@ def to_k_minor(W_f: jnp.ndarray) -> jnp.ndarray:
     nchunks = n // chunk
     nfull = nchunks * chunk
 
-    def step(_, w):
-        return None, jnp.pad(w.reshape(chunk, 27).T,
-                             ((0, K_PAD - 27), (0, 0)))
+    def step(i, out):
+        w = jax.lax.dynamic_slice(W_f, (i * (chunk * 27),), (chunk * 27,))
+        return jax.lax.dynamic_update_slice(
+            out, w.reshape(chunk, 27).T, (0, i * chunk))
 
-    _, ys = jax.lax.scan(
-        step, None, W_f[:nfull * 27].reshape(nchunks, chunk * 27))
-    out = ys.transpose(1, 0, 2).reshape(K_PAD, nfull)
+    out = jax.lax.fori_loop(
+        0, nchunks, step, jnp.zeros((K_PAD, n), W_f.dtype))
     if n > nfull:
-        tail = jnp.pad(W_f[nfull * 27:].reshape(-1, 27).T,
-                       ((0, K_PAD - 27), (0, 0)))
-        out = jnp.concatenate([out, tail], axis=1)
+        out = jax.lax.dynamic_update_slice(
+            out, W_f[nfull * 27:].reshape(-1, 27).T, (0, nfull))
     return out
 
 
@@ -524,7 +523,13 @@ GATHER_DIRECT_MAX_BYTES = int(
 
 def gather_k_minor(t16: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``t16[:, idx]`` — k-minor (d, m) table gathered to (d, n) — with the
-    row-major relayout temp bounded at large n (see GATHER_CHUNK)."""
+    row-major relayout temp bounded at large n (see GATHER_CHUNK).
+
+    The chunked form writes straight into the (d, n) result with a
+    fori_loop + dynamic_update_slice: a scan stacking (d, chunk) steps
+    lets the layout assigner put d in the lane dimension of the stacked
+    buffer (padded 16 -> 128, 14.75 GB at Final-13682 — measured,
+    logs/probe_final_compile3.log)."""
     n = idx.shape[0]
     d = t16.shape[0]
     itemsize = jnp.dtype(t16.dtype).itemsize
@@ -534,13 +539,15 @@ def gather_k_minor(t16: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     nchunks = n // chunk
     nfull = nchunks * chunk
 
-    def step(_, ix):
-        return None, t16[:, ix]
+    def step(i, out):
+        ix = jax.lax.dynamic_slice(idx, (i * chunk,), (chunk,))
+        return jax.lax.dynamic_update_slice(out, t16[:, ix], (0, i * chunk))
 
-    _, ys = jax.lax.scan(step, None, idx[:nfull].reshape(nchunks, chunk))
-    out = ys.transpose(1, 0, 2).reshape(d, nfull)
+    out = jax.lax.fori_loop(
+        0, nchunks, step, jnp.zeros((d, n), t16.dtype))
     if n > nfull:
-        out = jnp.concatenate([out, t16[:, idx[nfull:]]], axis=1)
+        out = jax.lax.dynamic_update_slice(
+            out, t16[:, idx[nfull:]], (0, nfull))
     return out
 
 

@@ -46,3 +46,40 @@ def objective(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
     """0.5 * ||r||^2, the reference's objective (`src/lm.jl:41`)."""
     r = residuals(problem, cams, points)
     return 0.5 * jnp.sum(r * r)
+
+
+def objective_chunked(problem: BAProblem, cams, points,
+                      chunk: int) -> jnp.ndarray:
+    """0.5 * ||r||^2 streamed over observation chunks.
+
+    The one-shot form's ``cams[cam_idx]`` gather materializes a row-major
+    (nobs, 9) buffer whose minor dim tile-pads 9 -> 128 — 14.9 GB at
+    Final-13682 (logs/probe_final_compile6.log). Chunking bounds the
+    gather to (chunk, 9) per scan step; pt2d windows are dynamic-sliced
+    straight from the parameter (cf. `ops/normal.py` streaming assembly;
+    whole-array reforms of the (n, 2) input trigger the same relayout)."""
+    cams = problem.cams if cams is None else cams
+    points = problem.points if points is None else points
+    n = problem.nobs_pad
+    nchunks = n // chunk
+    nfull = nchunks * chunk
+
+    def piece(ci, pi, xy, w):
+        proj, valid = _project_batch(cams[ci], points[pi])
+        r = (proj - xy) * (w * valid.astype(w.dtype))[:, None]
+        return 0.5 * jnp.sum(r * r)
+
+    def body(acc, x):
+        ci, pi, row0, w = x
+        xy = jax.lax.dynamic_slice(problem.pt2d, (row0, 0), (chunk, 2))
+        return acc + piece(ci, pi, xy, w), None
+
+    xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),
+          problem.pnt_idx[:nfull].reshape(nchunks, chunk),
+          jnp.arange(nchunks, dtype=jnp.int32) * chunk,
+          problem.w[:nfull].reshape(nchunks, chunk))
+    acc, _ = jax.lax.scan(body, jnp.zeros((), cams.dtype), xs)
+    if n > nfull:
+        acc = acc + piece(problem.cam_idx[nfull:], problem.pnt_idx[nfull:],
+                          problem.pt2d[nfull:], problem.w[nfull:])
+    return acc

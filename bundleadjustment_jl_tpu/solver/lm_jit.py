@@ -139,6 +139,13 @@ def _objective(problem, cams, points):
     # sum-of-squares, not vdot: under vmap (batched trial scales) vdot
     # becomes a DEFAULT-precision batched dot_general, which the TPU
     # backend demotes to bf16 and tile-pads at full observation width.
+    from bundleadjustment_jl_tpu.ops import pallas_schur as _ps
+    from bundleadjustment_jl_tpu.ops.residuals import objective_chunked
+    if problem.nobs_pad * 128 * 4 > _ps.GATHER_DIRECT_MAX_BYTES:
+        # Final-scale: the full cams[cam_idx] gather tile-pads 9 -> 128
+        # (14.9 GB); stream the objective instead.
+        return spmdctx.psum(objective_chunked(
+            problem, cams, points, _ps.GATHER_CHUNK))
     r = residuals(problem, cams, points)
     # spmd: rows are device-local -> the sum all-reduces (no-op otherwise)
     return spmdctx.psum(0.5 * jnp.sum(r * r))

@@ -161,6 +161,11 @@ def test_gather_k_minor_chunked_matches_direct(monkeypatch):
     direct = t16[:, idx]
     W_f = jnp.asarray(rng.standard_normal(617 * 27), jnp.float32)
     k_direct = pallas_schur.to_k_minor(W_f)
+    from bundleadjustment_jl_tpu.ops.normal import inv3x3_damped_flat
+    spd = rng.standard_normal((617, 3, 3)).astype(np.float32)
+    spd = np.einsum("pij,pkj->pik", spd, spd)
+    Hpp_f = jnp.asarray(spd.reshape(-1))
+    inv_direct = inv3x3_damped_flat(Hpp_f, 0.3)
     monkeypatch.setattr(pallas_schur, "GATHER_DIRECT_MAX_BYTES", 0)
     monkeypatch.setattr(pallas_schur, "GATHER_CHUNK", 300)
     np.testing.assert_array_equal(
@@ -168,6 +173,11 @@ def test_gather_k_minor_chunked_matches_direct(monkeypatch):
         np.asarray(direct))
     np.testing.assert_array_equal(
         np.asarray(pallas_schur.to_k_minor(W_f)), np.asarray(k_direct))
+    # elementwise math is identical; only FMA contraction may differ
+    # between the fused direct form and the fori_loop body
+    np.testing.assert_allclose(
+        np.asarray(inv3x3_damped_flat(Hpp_f, 0.3)),
+        np.asarray(inv_direct), rtol=1e-5, atol=1e-6)
 
 
 def test_solver_non_kminor_pallas_matches_kminor(monkeypatch):
