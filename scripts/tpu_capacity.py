@@ -95,10 +95,23 @@ def main(max_nobs=40_000_000, only=None):
         gen_s = time.perf_counter() - t0
         print(f"[capacity] {family}-{ncams}: nobs={problem.nobs} "
               f"gen {gen_s:.0f}s", flush=True)
+        # Transfer + true barrier BEFORE the solve: interleaving the
+        # ~700 MB host->device transfer with the first dispatch has
+        # crashed the experimental runtime at Final scale, and the
+        # reference times with the model already resident anyway.
+        problem = jax.device_put(problem)
+        float(sum(jnp.sum(x.astype(jnp.float32))
+                  for x in jax.tree.leaves(problem)))
         t0 = time.perf_counter()
         try:
             res = levenberg_marquardt_jit_chunked(
-                problem, max_iters=max_iters, chunk_iters=5,
+                # Final-scale dispatches run ~25-50 s/iteration; a 5-iter
+                # chunk (>2 min in one device dispatch) reproducibly
+                # crashes the experimental remote runtime while 1-2 iter
+                # dispatches complete (logs/r3c/, probe_final_exec2).
+                # One iteration per dispatch keeps each under the limit.
+                problem, max_iters=max_iters,
+                chunk_iters=1 if problem.nobs > 10_000_000 else 5,
                 max_time=3600.0, pcg_max_iters=100, lam0_mode="diag",
                 satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
                 oatol=0.0, ortol=1e-4,
