@@ -257,7 +257,9 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
     def body(carry, x):
         g_c, g_p, Hcc, Hpp, obj = carry
         ci, pi, row0, w = x
-        xy = jax.lax.dynamic_slice(problem.pt2d, (row0, 0), (chunk, 2))
+        xy = jax.lax.dynamic_slice(
+            problem.pt2d, (row0, jnp.zeros((), row0.dtype)),
+            (chunk, 2))
         dobj, dg_c, dg_p, dHcc, dHpp, W, (r, Jc_f, Jp_f) = block(
             ci, pi, xy.reshape(-1), w, chunk)
         ys = (W.reshape(-1),) if not with_jr else (
@@ -449,7 +451,7 @@ def inv3x3_damped_flat(Hpp_f: jnp.ndarray, lam) -> jnp.ndarray:
     # form (9 adjugate columns + the stacked result), so the budget is
     # per-buffer: GATHER_DIRECT_MAX_BYTES / 10.
     if P * 128 * jnp.dtype(dt).itemsize > _ps.GATHER_DIRECT_MAX_BYTES // 10:
-        chunk = _ps.GATHER_CHUNK
+        chunk = min(_ps.GATHER_CHUNK, P)
         nchunks = P // chunk
         nfull = nchunks * chunk
 

@@ -486,21 +486,31 @@ def to_k_minor(W_f: jnp.ndarray) -> jnp.ndarray:
     if n * 128 * itemsize <= GATHER_DIRECT_MAX_BYTES:
         Wt = W_f.reshape(-1, 27).T
         return jnp.pad(Wt, ((0, K_PAD - 27), (0, 0)))
-    chunk = GATHER_CHUNK
+    chunk = min(GATHER_CHUNK, n)
     nchunks = n // chunk
     nfull = nchunks * chunk
 
+    # The accumulator stays strictly FLAT (K_PAD * n,): a 2-D (K_PAD, n)
+    # fori carry gets assigned a column-major layout by XLA (physical
+    # (n, 32) padded 32 -> 128 = 7.44 GB zeros buffer, measured,
+    # logs/probe_final_compile11.log). Row-contiguous 1-D writes keep
+    # every buffer packed; the final reshape is a bitcast.
     def step(i, out):
         w = jax.lax.dynamic_slice(W_f, (i * (chunk * 27),), (chunk * 27,))
-        return jax.lax.dynamic_update_slice(
-            out, w.reshape(chunk, 27).T, (0, i * chunk))
+        wt = w.reshape(chunk, 27).T
+        for k in range(27):
+            out = jax.lax.dynamic_update_slice(
+                out, wt[k], (k * n + i * chunk,))
+        return out
 
     out = jax.lax.fori_loop(
-        0, nchunks, step, jnp.zeros((K_PAD, n), W_f.dtype))
+        0, nchunks, step, jnp.zeros((K_PAD * n,), W_f.dtype))
     if n > nfull:
-        out = jax.lax.dynamic_update_slice(
-            out, W_f[nfull * 27:].reshape(-1, 27).T, (0, nfull))
-    return out
+        wt = W_f[nfull * 27:].reshape(-1, 27).T
+        for k in range(27):
+            out = jax.lax.dynamic_update_slice(
+                out, wt[k], (k * n + nfull,))
+    return out.reshape(K_PAD, n)
 
 
 def pad_rows(x_t: jnp.ndarray, rows: int) -> jnp.ndarray:
@@ -531,11 +541,27 @@ def gather_k_minor(t16: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     buffer (padded 16 -> 128, 14.75 GB at Final-13682 — measured,
     logs/probe_final_compile3.log)."""
     n = idx.shape[0]
-    d = t16.shape[0]
+    d, m = t16.shape
     itemsize = jnp.dtype(t16.dtype).itemsize
     if n * 128 * itemsize <= GATHER_DIRECT_MAX_BYTES:
         return t16[:, idx]
-    chunk = GATHER_CHUNK
+    if m * 128 * itemsize > GATHER_DIRECT_MAX_BYTES:
+        # Huge TABLE too (e.g. W_t[:, cam_perm] at Final-13682): XLA
+        # lowers the per-chunk column gather by transposing the table to
+        # row-major — loop-invariant, so it hoists OUT of the chunk loop
+        # as one (m, d) tile-padded buffer (7.44 GB measured,
+        # logs/probe_final_compile8.log). Permute row-by-row with flat
+        # 1-D gathers instead: no 2-D intermediate exists at any point.
+        t_flat = t16.reshape(-1)
+
+        def row(k, out):
+            r = jax.lax.dynamic_slice(t_flat, (k * m,), (m,))
+            return jax.lax.dynamic_update_slice(out, r[idx], (k * n,))
+
+        out = jax.lax.fori_loop(0, d, row,
+                                jnp.zeros((d * n,), t16.dtype))
+        return out.reshape(d, n)
+    chunk = min(GATHER_CHUNK, n)
     nchunks = n // chunk
     nfull = nchunks * chunk
 
@@ -798,10 +824,18 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
+    # The (ncams, d_out) output block + accumulator live in VMEM; past
+    # ~8k cameras they exceed Mosaic's 16 MB default scoped-vmem limit
+    # (Final-13682 d_out=9: 19.98 MB measured, probe_final_compile10).
+    # v5e has 128 MB VMEM/core — raise the cap for the big-camera case.
+    params = None
+    if ncams * 128 * 4 * 2 > 12 * 2**20:
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ncams, d_out), jnp.float32),
+        compiler_params=params,
         interpret=interpret,
     )(bounds, *args)
 
@@ -1051,6 +1085,19 @@ def cam_scatter_ok(s, ncams: int) -> bool:
     costs O(ncams * C * d_out) MXU FLOPs per chunk)."""
     return (CAM_SCATTER and ncams <= CAM_SCATTER_MAX_CAMS
             and s.pnt_starts is not None and s.pnt_perm is None)
+
+
+def cam_reduce_scatter_ok(s, ncams: int, W_cam_t) -> bool:
+    """Camera-direction reduce via the scatter kernel?  Either the mode
+    is on (:func:`cam_scatter_ok`) or there is NO camera-sorted W copy
+    to stream — the Final-scale configuration, where building W_cam_t
+    materializes a tile-padded (n, 32) relayout of the whole W no matter
+    how the permute is phrased (measured 7.44 GB twice:
+    logs/probe_final_compile8.log, probe_final_compile9.log). The
+    scatter kernel's (ncams, d_out) VMEM accumulator is ~5 MB even at
+    Final-13682."""
+    return ((W_cam_t is None and s.pnt_starts is not None
+             and s.pnt_perm is None) or cam_scatter_ok(s, ncams))
 
 
 def _sym6(b: int, c):

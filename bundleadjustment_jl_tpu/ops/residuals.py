@@ -61,6 +61,7 @@ def objective_chunked(problem: BAProblem, cams, points,
     cams = problem.cams if cams is None else cams
     points = problem.points if points is None else points
     n = problem.nobs_pad
+    chunk = min(chunk, n)
     nchunks = n // chunk
     nfull = nchunks * chunk
 
@@ -71,7 +72,9 @@ def objective_chunked(problem: BAProblem, cams, points,
 
     def body(acc, x):
         ci, pi, row0, w = x
-        xy = jax.lax.dynamic_slice(problem.pt2d, (row0, 0), (chunk, 2))
+        xy = jax.lax.dynamic_slice(
+            problem.pt2d, (row0, jnp.zeros((), row0.dtype)),
+            (chunk, 2))
         return acc + piece(ci, pi, xy, w), None
 
     xs = (problem.cam_idx[:nfull].reshape(nchunks, chunk),

@@ -157,10 +157,14 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
         if sys.W_t is None:
             W_t = pallas_schur.to_k_minor(blocks.W_f)
             sys = sys._replace(W_t=W_t)
-            if not pallas_schur.cam_scatter_ok(sys, ncams):
-                sys = sys._replace(
-                    W_cam_t=pallas_schur.gather_k_minor(
-                        W_t, sys.cam_perm))
+            itemsize = jnp.dtype(W_t.dtype).itemsize
+            if (not pallas_schur.cam_scatter_ok(sys, ncams)
+                    and W_t.shape[1] * 128 * itemsize
+                    <= pallas_schur.GATHER_DIRECT_MAX_BYTES):
+                # cam-sorted copy only while the permute is cheap; at
+                # Final scale it is skipped and the camera-direction
+                # reduces run the scatter kernel (cam_reduce_scatter_ok)
+                sys = sys._replace(W_cam_t=W_t[:, sys.cam_perm])
         # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
         tmp8 = pallas_schur.pad_rows(tmp.T, 8)
         corr = spmdctx.psum(_cam_dir_reduce(sys, tmp8).astype(tmp.dtype))
@@ -179,7 +183,7 @@ def _cam_dir_reduce(sys: SchurSystem, op8: jnp.ndarray) -> jnp.ndarray:
     from bundleadjustment_jl_tpu.ops import pallas_schur
     ncams = sys.Hcc_l.shape[0]
     npnts = sys.Hpp_inv.shape[0]
-    if pallas_schur.cam_scatter_ok(sys, ncams):
+    if pallas_schur.cam_reduce_scatter_ok(sys, ncams, sys.W_cam_t):
         bounds = pallas_schur.tile_bounds(sys.pnt_starts, npnts)
         return pallas_schur.cam_scatter_reduce(
             sys.W_t, sys.cam_idx, bounds, ncams, d_out=9,
@@ -329,14 +333,13 @@ def schur_diag_blocks(sys: SchurSystem,
     from bundleadjustment_jl_tpu.ops.normal import auto_chunk
     ncams = sys.Hcc_l.shape[0]
     if (_use_pallas(sys)
-            and (sys.W_cam_t is not None
-                 or (sys.W_t is not None and _cam_scatter(sys, ncams)))):
+            and (sys.W_cam_t is not None or sys.W_t is not None)):
         from bundleadjustment_jl_tpu.ops import pallas_schur
         # ONE streaming pass over W + packed-symmetric Hpp_inv: the
         # per-observation W C W' product and its per-camera reduction
         # happen in VMEM/MXU — no (n, 81) materialization, no scatter
         # (the measured co-dominant per-iteration cost).
-        if _cam_scatter(sys, ncams):
+        if pallas_schur.cam_reduce_scatter_ok(sys, ncams, sys.W_cam_t):
             # point-sorted stream; Hpp_inv rides as a per-POINT operand
             h6 = sys.Hpp_inv_f.reshape(-1, 9)[
                 :, jnp.array([0, 1, 2, 4, 5, 8])]
@@ -445,7 +448,8 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
         # cross = sum_c dc[c] . segsum_cam(W_k dp[pnt_k]) — one fused pass
         # over the carried W (W_f is absent on this path).
         dp8 = pallas_schur.pad_rows(dp_h.T, 8)
-        if _cam_scatter(problem, problem.ncams):
+        if pallas_schur.cam_reduce_scatter_ok(problem, problem.ncams,
+                                              blocks.W_cam_t):
             bounds = pallas_schur.tile_bounds(problem.pnt_starts,
                                               problem.npnts)
             cross_cam = pallas_schur.cam_scatter_reduce(

@@ -222,6 +222,34 @@ def _maybe_cast_facto(blocks, facto_dtype):
                            w_scale=scale)
 
 
+def _carry_kminor(problem, blocks, *, pallas_mode, use_cgls, use_dense):
+    """Non-k-minor mode (Final-scale scatter assembly): the k-minor
+    ``W_t`` / ``W_cam_t`` operands depend only on the linearization
+    point, NOT on lambda — build them ONCE per accepted step here and
+    drop ``W_f``, instead of letting ``schur.reduce_system`` rebuild
+    them inside every iteration (~3.4 GB of chunked transpose + gather
+    per lambda at Final-13682). Every fused consumer reads
+    ``blocks.W_t``/``W_cam_t``; ``available()`` accepts W_f=None."""
+    if (blocks.W_t is not None or not pallas_mode
+            or use_cgls or use_dense):
+        return blocks
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    if not pallas_schur.problem_ok(problem, blocks.g_c_f.dtype):
+        return blocks
+    W_t = pallas_schur.to_k_minor(blocks.W_f)
+    W_cam_t = None
+    itemsize = jnp.dtype(W_t.dtype).itemsize
+    if (not pallas_schur.cam_scatter_ok(problem, problem.ncams)
+            and W_t.shape[1] * 128 * itemsize
+            <= pallas_schur.GATHER_DIRECT_MAX_BYTES):
+        # At Final scale the camera-sorted copy is skipped entirely —
+        # every phrasing of the permute materializes a tile-padded
+        # (n, 32) relayout — and the camera-direction reduces run the
+        # scatter kernel instead (pallas_schur.cam_reduce_scatter_ok).
+        W_cam_t = pallas_schur.gather_k_minor(W_t, problem.cam_perm)
+    return blocks._replace(W_t=W_t, W_cam_t=W_cam_t, W_f=None)
+
+
 def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
              pcg_max_iters, use_dense, use_cgls, use_power, linesearch,
              ls_max, lam0_mode, use_forcing, facto_dtype,
@@ -238,6 +266,8 @@ def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
     obj0 = blocks0.obj
     gnorm0 = gradient_norm(blocks0)
     blocks0 = _maybe_cast_facto(blocks0, facto_dtype)
+    blocks0 = _carry_kminor(problem, blocks0, pallas_mode=pallas_mode,
+                            use_cgls=use_cgls, use_dense=use_dense)
 
     if lam0_mode == "diag":
         # Madsen-Nielsen-style: lambda_0 = tau * max diag(J'J) — scale-aware,
@@ -295,8 +325,11 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         blocks = assemble_blocks(
             problem, c, p, with_jr=use_cgls, kminor=kminor,
             w_dtype=_w_assemble_dtype(facto_dtype) if kminor else None)
-        return (_maybe_cast_facto(blocks, facto_dtype), blocks.obj,
-                gradient_norm(blocks))
+        cast = _carry_kminor(
+            problem, _maybe_cast_facto(blocks, facto_dtype),
+            pallas_mode=pallas_mode, use_cgls=use_cgls,
+            use_dense=use_dense)
+        return cast, blocks.obj, gradient_norm(blocks)
 
     # scales tried per iteration: [1] or [1, 1/2, ..., 1/2^ls_max]
     scales = jnp.asarray(

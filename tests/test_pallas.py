@@ -180,13 +180,21 @@ def test_gather_k_minor_chunked_matches_direct(monkeypatch):
         np.asarray(inv_direct), rtol=1e-5, atol=1e-6)
 
 
-def test_solver_non_kminor_pallas_matches_kminor(monkeypatch):
+@pytest.mark.parametrize("chunked_final", [False, True])
+def test_solver_non_kminor_pallas_matches_kminor(monkeypatch,
+                                                 chunked_final):
     """The Final-scale fallback configuration: Pallas mode ON but the
     k-minor carried assembly disabled (nobs > KMINOR_MAX_OBS there).  The
-    solver must build W_t per lambda (schur.reduce_system) and still run
-    the fused matvec / back-substitution / quad-form streams — the XLA
-    (n, 27) forms tile-pad to a measured 14.9 GB compile-time OOM at
-    Final-13682 (logs/probe_final_compile.log)."""
+    solver converts W_f to carried k-minor operands once per accept and
+    still runs the fused matvec / back-substitution / quad-form streams —
+    the XLA (n, 27) forms tile-pad to a measured 14.9 GB compile-time OOM
+    at Final-13682 (logs/probe_final_compile.log).
+
+    ``chunked_final=True`` additionally forces every size threshold to
+    its Final-scale branch: chunked gathers/transpose/inverse/objective,
+    NO camera-sorted W copy (camera-direction reduces take the scatter
+    kernel — pallas_schur.cam_reduce_scatter_ok), serialized linesearch.
+    """
     from bundleadjustment_jl_tpu.solver import lm_jit
 
     prob, _ = synthetic_bal(ncams=8, npnts=256, obs_per_pnt=4, seed=5,
@@ -199,9 +207,12 @@ def test_solver_non_kminor_pallas_matches_kminor(monkeypatch):
         pallas_schur.set_mode(True)
         pallas_schur.INTERPRET = True
         ref = levenberg_marquardt_jit(prob, **opts)
-        # KMINOR_MAX_OBS is read at trace time from a static problem
-        # attribute: clear the jit caches so the monkeypatch retraces.
+        # KMINOR_MAX_OBS / the byte thresholds are read at trace time:
+        # clear the jit caches so the monkeypatches retrace.
         monkeypatch.setattr(lm_jit, "KMINOR_MAX_OBS", 0)
+        if chunked_final:
+            monkeypatch.setattr(pallas_schur, "GATHER_DIRECT_MAX_BYTES", 0)
+            monkeypatch.setattr(pallas_schur, "GATHER_CHUNK", 512)
         lm_jit._lm_init.clear_cache()
         lm_jit._lm_run.clear_cache()
         try:
