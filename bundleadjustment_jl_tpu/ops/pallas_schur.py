@@ -1046,11 +1046,19 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
             pltpu.SemaphoreType.DMA((MV_CACHE_CHUNKS + 2, 3)),
         ],
     )
+    # Raise Mosaic's 16 MB default scoped-vmem cap for large camera
+    # counts: the (ncams, C) one-hot intermediates + (ncams, 9) out
+    # block measured 20.43 MB at ncams=13682 (logs/r3e/abtest.log
+    # group D; v5e has 128 MB VMEM/core).
+    params = None
+    if ncams * (C + 128) * 4 > 12 * 2**20:
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out, dp8 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ncams, 9), jnp.float32),
                    jax.ShapeDtypeStruct((8, ntiles * P), jnp.float32)],
+        compiler_params=params,
         interpret=interpret,
     )(bounds, cam_row.reshape(1, n_pad).astype(jnp.int32),
       pnt_row.reshape(1, n_pad).astype(jnp.int32), W_t, v, hpp16)
@@ -1247,7 +1255,13 @@ def wtv_point_reduce(W_t, v, pnt_idx, cam_idx, pnt_starts, npnts, *,
         interpret = INTERPRET
     bounds = tile_bounds(pnt_starts, npnts)
     if v.shape[0] > GATHER_TABLE_MAX_CAMS:
-        xt = gather_k_minor(pad_rows(v.T, 16), cam_idx)
+        # Pre-gathered v rides in W's storage dtype when that is bf16:
+        # the bf16 W already bounds the product accuracy, and the
+        # (16, n) operand is half the pass's non-W traffic at Final.
+        vt = pad_rows(v.T, 16)
+        if W_t.dtype == jnp.bfloat16:
+            vt = vt.astype(jnp.bfloat16)
+        xt = gather_k_minor(vt, cam_idx)
         return _seg_block_reduce(
             W_t, pnt_idx, bounds, npnts, d_x=9, d_out=3,
             xt_obs=xt, diag=hpp_inv_f, add=add_gp, sign=sign,
@@ -1259,17 +1273,19 @@ def wtv_point_reduce(W_t, v, pnt_idx, cam_idx, pnt_starts, npnts, *,
 
 
 def wt_cam_reduce(W_cam_t, xt8_cam, cam_ids_sorted, cam_starts, ncams, *,
-                  interpret=None):
+                  out_dtype=None, interpret=None):
     """Fused ``segment_sum_cam(W_k t_k)`` over camera-sorted rows
     (``W_cam_t`` = k-minor 9x3 blocks permuted by ``cam_perm`` — the
     matvec streams ``Y = W Hpp_inv`` here; ``xt8_cam`` the k-minor
-    (8, n_pad) row-padded 3-vector operand in the same order)."""
+    (8, n_pad) row-padded 3-vector operand in the same order).
+    ``out_dtype``: output override — pass f32 when the operand rides in
+    bf16 (the kernel accumulates in f32 regardless)."""
     if interpret is None:
         interpret = INTERPRET
     bounds = tile_bounds(cam_starts, ncams)
     return _seg_block_reduce(
         W_cam_t, cam_ids_sorted, bounds, ncams, d_x=3, d_out=9,
-        xt_obs=xt8_cam, interpret=interpret)
+        xt_obs=xt8_cam, out_dtype=out_dtype, interpret=interpret)
 
 
 def layout_ok(s) -> bool:

@@ -157,14 +157,14 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
         if sys.W_t is None:
             W_t = pallas_schur.to_k_minor(blocks.W_f)
             sys = sys._replace(W_t=W_t)
-            itemsize = jnp.dtype(W_t.dtype).itemsize
-            if (not pallas_schur.cam_scatter_ok(sys, ncams)
-                    and W_t.shape[1] * 128 * itemsize
-                    <= pallas_schur.GATHER_DIRECT_MAX_BYTES):
-                # cam-sorted copy only while the permute is cheap; at
-                # Final scale it is skipped and the camera-direction
-                # reduces run the scatter kernel (cam_reduce_scatter_ok)
-                sys = sys._replace(W_cam_t=W_t[:, sys.cam_perm])
+            if not pallas_schur.cam_scatter_ok(sys, ncams):
+                # cam-sorted copy always: gather_k_minor's huge-table
+                # branch keeps the Final-scale permute relayout-free
+                # (flat row gathers), and the cam-sorted segsum beats
+                # the O(ncams*n) scatter kernel 95 ms vs 1709 ms per
+                # matvec at ncams=13682 (logs/r3e/abtest.log).
+                sys = sys._replace(
+                    W_cam_t=pallas_schur.gather_k_minor(W_t, sys.cam_perm))
         # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
         tmp8 = pallas_schur.pad_rows(tmp.T, 8)
         corr = spmdctx.psum(_cam_dir_reduce(sys, tmp8).astype(tmp.dtype))
@@ -188,11 +188,20 @@ def _cam_dir_reduce(sys: SchurSystem, op8: jnp.ndarray) -> jnp.ndarray:
         return pallas_schur.cam_scatter_reduce(
             sys.W_t, sys.cam_idx, bounds, ncams, d_out=9,
             prod=pallas_schur._prod_w_op, idx_row=sys.pnt_idx, op_t=op8)
+    # bf16-stored W already bounds the matvec accuracy at ~2^-9 relative
+    # (the CG eps-floor in solver/lm_jit.py accounts for it); gathering
+    # the per-row operand in the same dtype halves the dominant
+    # per-matvec gather traffic (381 ms f32 at Final-13682,
+    # logs/r3e/abtest.log group B) at no additional accuracy cost. The
+    # kernel accumulates in f32 either way (out_dtype below).
+    if sys.W_cam_t.dtype == jnp.bfloat16:
+        op8 = op8.astype(jnp.bfloat16)
     return pallas_schur.wt_cam_reduce(
         sys.W_cam_t,
         pallas_schur.gather_k_minor(op8,
                                     sys.pnt_idx[sys.cam_perm]),
-        sys.cam_idx[sys.cam_perm], sys.cam_starts, ncams)
+        sys.cam_idx[sys.cam_perm], sys.cam_starts, ncams,
+        out_dtype=jnp.float32)
 
 
 def reduce_and_diag(problem: BAProblem, blocks: GNBlocks, lam):
@@ -457,12 +466,14 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
                 d_out=9, prod=pallas_schur._prod_w_op,
                 idx_row=problem.pnt_idx, op_t=dp8)
         else:
+            if blocks.W_cam_t.dtype == jnp.bfloat16:
+                dp8 = dp8.astype(jnp.bfloat16)   # see _cam_dir_reduce
             cross_cam = pallas_schur.wt_cam_reduce(
                 blocks.W_cam_t,
                 pallas_schur.gather_k_minor(
                     dp8, problem.pnt_idx[problem.cam_perm]),
                 problem.cam_idx[problem.cam_perm], problem.cam_starts,
-                problem.ncams)
+                problem.ncams, out_dtype=jnp.float32)
         return t_c + 2.0 * spmdctx.psum(
             jnp.sum(cross_cam * dc.astype(cross_cam.dtype))
             .astype(t_c.dtype)) + t_p

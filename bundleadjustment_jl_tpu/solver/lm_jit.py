@@ -238,14 +238,15 @@ def _carry_kminor(problem, blocks, *, pallas_mode, use_cgls, use_dense):
         return blocks
     W_t = pallas_schur.to_k_minor(blocks.W_f)
     W_cam_t = None
-    itemsize = jnp.dtype(W_t.dtype).itemsize
-    if (not pallas_schur.cam_scatter_ok(problem, problem.ncams)
-            and W_t.shape[1] * 128 * itemsize
-            <= pallas_schur.GATHER_DIRECT_MAX_BYTES):
-        # At Final scale the camera-sorted copy is skipped entirely —
-        # every phrasing of the permute materializes a tile-padded
-        # (n, 32) relayout — and the camera-direction reduces run the
-        # scatter kernel instead (pallas_schur.cam_reduce_scatter_ok).
+    if not pallas_schur.cam_scatter_ok(problem, problem.ncams):
+        # Camera-sorted copy, built once per accepted step. At Final
+        # scale `gather_k_minor`'s huge-table branch permutes row-by-row
+        # with flat 1-D gathers (no tile-padded (n, 32) relayout exists
+        # at any point); round 3 skipped the copy there and paid for it:
+        # the scatter-kernel camera reduce is O(ncams*n) one-hot work —
+        # 1709 ms/matvec at 1.2 GB/s at ncams=13682 vs 95 ms at
+        # 31.4 GB/s for the cam-sorted segsum (logs/r3e/abtest.log
+        # groups A/B; VERDICT r3 next-step #1).
         W_cam_t = pallas_schur.gather_k_minor(W_t, problem.cam_perm)
     return blocks._replace(W_t=W_t, W_cam_t=W_cam_t, W_f=None)
 
@@ -720,9 +721,17 @@ def levenberg_marquardt_jit_chunked(
 
     final_status = None
     nchunk = 0
+    # ONE coalesced fetch of every host-checked scalar per chunk. On the
+    # remote-TPU tunnel each separate int()/float() is a full device->host
+    # round trip (the only true barrier on that runtime); the previous
+    # per-scalar fetches cost ~9 round trips x seconds each per chunk —
+    # the bulk of Final-13682's 66 s wall vs 18.4 s device per iteration
+    # (logs/r3e/final_profile.log; VERDICT r3 weak #2).
+    scal = jax.device_get({k: state[k] for k in
+                           ("it", "status", "obj", "gnorm", "lam", "gtol")})
     while True:
-        it = int(state["it"])
-        if int(state["status"]) != RUNNING or it >= max_iters:
+        it = int(scal["it"])
+        if int(scal["status"]) != RUNNING or it >= max_iters:
             break
         if max_time is not None and time.perf_counter() - t0 > max_time:
             final_status = MAX_TIME
@@ -731,19 +740,22 @@ def levenberg_marquardt_jit_chunked(
             min(it + chunk_iters, max_iters), jnp.int32))
         state = _lm_run(problem, state, hp, **static)
         nchunk += 1
+        scal = jax.device_get({k: state[k] for k in
+                               ("it", "status", "obj", "gnorm", "lam",
+                                "gtol")})
         if ckpt_mgr is not None and nchunk % max(1, checkpoint_every) == 0:
             ckpt_mgr.maybe_save(
-                int(state["it"]), state["cams"].reshape(-1, 9),
-                state["points"].reshape(-1, 3), lam=float(state["lam"]),
-                meta={"objective": float(state["obj"]),
-                      "gtol": float(state["gtol"]),
+                int(scal["it"]), state["cams"].reshape(-1, 9),
+                state["points"].reshape(-1, 3), lam=float(scal["lam"]),
+                meta={"objective": float(scal["obj"]),
+                      "gtol": float(scal["gtol"]),
                       "problem": problem.name})
         if callback is not None:
-            callback({"iter": int(state["it"]),
-                      "obj": float(state["obj"]),
-                      "gnorm": float(state["gnorm"]),
-                      "lam": float(state["lam"]),
-                      "status": STATUS_NAMES[int(state["status"])],
+            callback({"iter": int(scal["it"]),
+                      "obj": float(scal["obj"]),
+                      "gnorm": float(scal["gnorm"]),
+                      "lam": float(scal["lam"]),
+                      "status": STATUS_NAMES[int(scal["status"])],
                       "elapsed": time.perf_counter() - t0})
 
     return _finalize(state, final_status=final_status,
