@@ -192,13 +192,20 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
                                 w_dtype=w_dtype)
     from bundleadjustment_jl_tpu.ops.blockmul import (
         jcT_dot, jjT_outer, jpT_dot)
+    from bundleadjustment_jl_tpu.ops import spmdctx
     if chunk is None or n <= chunk:
         r, Jc, Jp = residuals_and_jacobian(problem, cams, points)
         Jc_f, Jp_f = Jc.reshape(-1), Jp.reshape(-1)
-        obj = 0.5 * jnp.sum(r * r)
-        g_c = seg_by_cam(problem, jcT_dot(Jc_f, r))
+        # spmd (`solver/lm_spmd.py`): rows are device-local, so the
+        # camera-space outputs (obj, g_c, Hcc) are per-device partials
+        # that all-reduce over the mesh axis; point-space outputs
+        # (g_p, Hpp, W) stay local (points are shard-owned). No-ops
+        # outside a shard_map (spmdctx.AXIS is None).
+        obj = spmdctx.psum(0.5 * jnp.sum(r * r))
+        g_c = spmdctx.psum(seg_by_cam(problem, jcT_dot(Jc_f, r)))
         g_p = seg_by_pnt(problem, jpT_dot(Jp_f, r))
-        Hcc = seg_by_cam(problem, jjT_outer(Jc_f, 9, Jc_f, 9)).reshape(
+        Hcc = spmdctx.psum(
+            seg_by_cam(problem, jjT_outer(Jc_f, 9, Jc_f, 9))).reshape(
             -1, 9, 9)
         Hpp = seg_by_pnt(problem, jjT_outer(Jp_f, 3, Jp_f, 3)).reshape(
             -1, 3, 3)
@@ -284,9 +291,12 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
             r = jnp.concatenate([r, r_t.reshape(-1)])
             Jc = jnp.concatenate([Jc, Jc_t])
             Jp = jnp.concatenate([Jp, Jp_t])
+    # spmd: one camera-space all-reduce after the streaming accumulation
+    # (see the whole-width branch above); point-space stays local.
     return GNBlocks(
-        g_c_f=g_c, g_p_f=g_p, Hcc_f=Hcc, Hpp_f=Hpp,
-        W_f=W, obj=obj, r_f=r, Jc_f=Jc, Jp_f=Jp)
+        g_c_f=spmdctx.psum(g_c), g_p_f=g_p,
+        Hcc_f=spmdctx.psum(Hcc), Hpp_f=Hpp,
+        W_f=W, obj=spmdctx.psum(obj), r_f=r, Jc_f=Jc, Jp_f=Jp)
 
 
 def _assemble_kminor(problem: BAProblem, cams, points,

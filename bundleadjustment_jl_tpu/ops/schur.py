@@ -171,7 +171,8 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
     tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
                        problem.pnt_perm)
-    corr = _seg_cam(sys, w_dot_b(blocks.W_f, tmp_obs))
+    # spmd: per-device partial camera sums all-reduce (no-op otherwise)
+    corr = spmdctx.psum(_seg_cam(sys, w_dot_b(blocks.W_f, tmp_obs)))
     return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
 
 
@@ -321,11 +322,11 @@ def schur_matvec(sys: SchurSystem, v: jnp.ndarray) -> jnp.ndarray:
             npnts, hpp_inv_f=sys.Hpp_inv_f, out_k8=True)
         u2 = spmdctx.psum(_cam_dir_reduce(sys, t8).astype(u.dtype))
         return u - u2
-    # W' v, accumulated per point
+    # W' v, accumulated per point (point rows are shard-local under spmd)
     t = _seg_pnt(sys, wT_dot_a(sys.W_f, take_cam(v, sys.cam_idx)))
     t = m33_dot(sys.Hpp_inv_f, t)
     t_obs = take_pnt(t, sys.pnt_idx, sys.pnt_starts, sys.pnt_perm)
-    u2 = _seg_cam(sys, w_dot_b(sys.W_f, t_obs))
+    u2 = spmdctx.psum(_seg_cam(sys, w_dot_b(sys.W_f, t_obs)))
     return u - u2
 
 
@@ -378,7 +379,7 @@ def schur_diag_blocks(sys: SchurSystem,
         Hpp_inv_obs = take_pnt(Hpp_inv9, sys.pnt_idx, sys.pnt_starts,
                                sys.pnt_perm).reshape(-1, 3, 3)
         WCW = jnp.einsum("kab,kbc,kdc->kad", sys.W, Hpp_inv_obs, sys.W)
-        return sys.Hcc_l - _seg_cam(sys, WCW)
+        return sys.Hcc_l - spmdctx.psum(_seg_cam(sys, WCW))
 
     nchunks = n // chunk      # remainder handled as one tail block
     nfull = nchunks * chunk
@@ -411,7 +412,7 @@ def schur_diag_blocks(sys: SchurSystem,
     if rem:
         acc = acc + wcw_sum(sys.W_f[nfull * 27:], sys.cam_idx[nfull:],
                             sys.pnt_idx[nfull:], rem)
-    return sys.Hcc_l - acc
+    return sys.Hcc_l - spmdctx.psum(acc)
 
 
 def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
@@ -479,8 +480,8 @@ def quad_form(problem: BAProblem, blocks: GNBlocks,
             .astype(t_c.dtype)) + t_p
     dp_obs = take_pnt(dp_h, problem.pnt_idx, problem.pnt_starts,
                       problem.pnt_perm)
-    cross = jnp.sum(w_dot_b(blocks.W_f, dp_obs)
-                    * take_cam(dc, problem.cam_idx))
+    cross = spmdctx.psum(jnp.sum(w_dot_b(blocks.W_f, dp_obs)
+                                 * take_cam(dc, problem.cam_idx)))
     return t_c + 2.0 * cross + t_p
 
 

@@ -84,15 +84,23 @@ def _local_solve(arrs: ShardStack, hp, lam0, *, statics, has_lam0):
         hist_lam=st["hist_lam"], hist_cg=st["hist_cg"])
 
 
-def _state_specs(cam_scatter: bool):
+def _state_specs(cam_scatter: bool, pallas: bool = True):
     """PartitionSpec tree for the solver-state dict crossing the
     shard_map boundary (chunked driver): point-space leaves ride the
     mesh axis on dim 0, everything else is replicated.  In camera-
-    scatter mode the assembly never builds ``W_cam_t`` (None leaf)."""
+    scatter mode the assembly never builds ``W_cam_t`` (None leaf);
+    with the Pallas kernels off the blocks carry flat ``W_f`` instead
+    of the k-minor operands."""
     obs, rep = P(SPMD_AXIS), P()
-    blocks = GNBlocks(g_c_f=rep, g_p_f=obs, Hcc_f=rep, Hpp_f=obs,
-                      W_f=None, obj=rep, r_f=None, Jc_f=None, Jp_f=None,
-                      W_t=obs, W_cam_t=None if cam_scatter else obs)
+    if pallas:
+        blocks = GNBlocks(g_c_f=rep, g_p_f=obs, Hcc_f=rep, Hpp_f=obs,
+                          W_f=None, obj=rep, r_f=None, Jc_f=None,
+                          Jp_f=None, W_t=obs,
+                          W_cam_t=None if cam_scatter else obs)
+    else:
+        blocks = GNBlocks(g_c_f=rep, g_p_f=obs, Hcc_f=rep, Hpp_f=obs,
+                          W_f=obs, obj=rep, r_f=None, Jc_f=None,
+                          Jp_f=None, W_t=None, W_cam_t=None)
     return dict(cams=rep, points=obs, blocks=blocks, obj=rep, gnorm=rep,
                 lam=rep, it=rep, it_max=rep, gtol=rep, nrejects=rep,
                 naccepts=rep, dc=rep, nu=rep, status=rep,
@@ -121,7 +129,8 @@ def _get_chunked_fns(mesh, statics, has_lam0):
         return fns
     obs, rep = P(SPMD_AXIS), P()
     in_arr_specs = ShardStack(rep, *([obs] * (len(ShardStack._fields) - 1)))
-    st_specs = _state_specs(statics.get("cam_scatter", False))
+    st_specs = _state_specs(statics.get("cam_scatter", False),
+                            statics.get("pallas_mode", True))
 
     def init_body(arrs, hp, lam0):
         lp = _local_problem(arrs)
@@ -144,16 +153,18 @@ def _get_chunked_fns(mesh, statics, has_lam0):
     return init_fn, seg_fn
 
 
-def _check_spmd_dtype(dtype) -> None:
-    """The spmd drivers exist to run the fused kminor kernels per device;
-    f64 disables that path (`pallas_schur.available`), and the XLA
-    fallback assembly has no spmdctx psum hooks — running it inside the
-    shard_map would be silently wrong, so refuse up front."""
-    if jnp.dtype(dtype) == jnp.float64:
+def _check_spmd_dtype(dtype, pallas: bool) -> None:
+    """With the Pallas kernels on, f64 is excluded (the fused kminor
+    kernels accumulate in f32; `pallas_schur.available`). With Pallas
+    OFF the local solve runs the XLA scatter/sorted-segsum path — its
+    camera-space reductions carry spmdctx psum hooks (`ops/normal.py`,
+    `ops/schur.py`), so any dtype works."""
+    if pallas and jnp.dtype(dtype) == jnp.float64:
         raise ValueError(
-            "the spmd driver runs the fused kminor kernels, which "
-            "accumulate in f32 and exclude float64 — solve in f32/bf16 "
-            "(CLI: --dtype f32) or use the GSPMD mesh path for f64")
+            "the fused kminor kernels accumulate in f32 and exclude "
+            "float64 — solve in f32/bf16 (CLI: --dtype f32), or disable "
+            "the Pallas kernels (pallas_schur.set_mode(False)) to run "
+            "the XLA path under the same spmd layout")
 
 
 def _get_fn(mesh, statics, has_lam0):
@@ -188,23 +199,23 @@ def levenberg_marquardt_spmd(
     linesearch: bool = False, ls_max: int = 4,
     facto_dtype=None, pcg_warm: bool = False,
 ) -> LMJitResult:
-    """Fused-kernel LM over a device mesh. Same options as
+    """LM over a device mesh (one shard_map; point-aligned
+    :class:`SpmdProblem` from `shard_problem_kminor`). Same options as
     :func:`levenberg_marquardt_jit` (PCG solver only — it is the scale
-    configuration); requires `pallas_schur.PALLAS_MODE` on and a
-    point-aligned :class:`SpmdProblem` (`shard_problem_kminor`)."""
+    configuration). With `pallas_schur.PALLAS_MODE` on, every device
+    runs the fused kminor kernels on its shard; with it off the local
+    solve runs the XLA scatter/sorted-segsum path under the SAME
+    sharding/collective layout (its camera-space reductions carry
+    spmdctx psum hooks) — the configuration for CPU-mesh validation at
+    scale and for f64."""
     from bundleadjustment_jl_tpu.ops import gatherfree, pallas_schur, segsum
-    if not pallas_schur.PALLAS_MODE:
-        raise ValueError("levenberg_marquardt_spmd requires "
-                         "pallas_schur.set_mode(True) — it exists to run "
-                         "the fused kernels multi-chip; use the GSPMD "
-                         "mesh path otherwise")
     ndev_mesh = int(mesh.devices.size)
     if sp.ndev != ndev_mesh:
         raise ValueError(f"SpmdProblem has {sp.ndev} shards but the mesh "
                          f"has {ndev_mesh} devices — rebuild with "
                          f"shard_problem_kminor(problem, {ndev_mesh})")
     dtype = sp.arrays.cams.dtype
-    _check_spmd_dtype(dtype)
+    _check_spmd_dtype(dtype, pallas_schur.PALLAS_MODE)
     hp = _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol,
                      ortol, nu_d, nu_m, accept_ratio, good_ratio, lam_min,
                      pcg_rtol, lam_strategy)
@@ -217,7 +228,7 @@ def levenberg_marquardt_spmd(
                    pcg_warm=pcg_warm,
                    gather_mode=gatherfree.MODE,
                    sorted_mode=segsum.SORTED_MODE,
-                   pallas_mode=True,
+                   pallas_mode=pallas_schur.PALLAS_MODE,
                    # resolved for THIS problem: drives the chunked
                    # driver's W_cam_t spec and keys the jit cache
                    cam_scatter=(pallas_schur.CAM_SCATTER
@@ -269,14 +280,11 @@ def levenberg_marquardt_spmd_chunked(
     import time as _time
 
     from bundleadjustment_jl_tpu.ops import gatherfree, pallas_schur, segsum
-    if not pallas_schur.PALLAS_MODE:
-        raise ValueError("levenberg_marquardt_spmd_chunked requires "
-                         "pallas_schur.set_mode(True)")
     if sp.ndev != int(mesh.devices.size):
         raise ValueError(f"SpmdProblem has {sp.ndev} shards, mesh has "
                          f"{int(mesh.devices.size)} devices")
     dtype = sp.arrays.cams.dtype
-    _check_spmd_dtype(dtype)
+    _check_spmd_dtype(dtype, pallas_schur.PALLAS_MODE)
     hp = _resolve_hp(dtype, atol, rtol, restol, satol, srtol, oatol,
                      ortol, nu_d, nu_m, accept_ratio, good_ratio, lam_min,
                      pcg_rtol, lam_strategy)
@@ -289,7 +297,7 @@ def levenberg_marquardt_spmd_chunked(
                    pcg_warm=pcg_warm,
                    gather_mode=gatherfree.MODE,
                    sorted_mode=segsum.SORTED_MODE,
-                   pallas_mode=True,
+                   pallas_mode=pallas_schur.PALLAS_MODE,
                    # resolved for THIS problem: drives the chunked
                    # driver's W_cam_t spec and keys the jit cache
                    cam_scatter=(pallas_schur.CAM_SCATTER

@@ -107,13 +107,29 @@ def test_spmd_linesearch_and_facto():
     assert abs(float(got.objective) - robj) <= 5e-3 * max(1.0, robj)
 
 
-def test_spmd_requires_pallas_mode():
-    mesh = _mesh(2)
+def test_spmd_xla_path_matches_single_device():
+    """With the Pallas kernels OFF the spmd driver runs the XLA
+    scatter/sorted-segsum local path under the same sharding layout —
+    the psum hooks in `ops/normal.py` / `ops/schur.py` must make it
+    match the single-device XLA solve decision for decision (this is
+    the configuration CPU-mesh validation at Venice/Final scale runs)."""
+    mesh = _mesh(4)
     prob = _problem()
-    sp = shard_problem_kminor(prob, 2, mesh=mesh)
     assert not pallas_schur.PALLAS_MODE
-    with pytest.raises(ValueError, match="set_mode"):
-        levenberg_marquardt_spmd(sp, mesh, max_iters=2)
+    opts = dict(max_iters=25, pcg_max_iters=60, lam0_mode="diag",
+                satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
+                oatol=0.0, ortol=1e-4)
+    ref = levenberg_marquardt_jit(prob, **opts)
+    sp = shard_problem_kminor(prob, 4, mesh=mesh)
+    got = levenberg_marquardt_spmd(sp, mesh, **opts)
+    assert int(got.iterations) == int(ref.iterations)
+    assert int(got.status) == int(ref.status)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-4 * max(1.0, robj)
+    np.testing.assert_allclose(np.asarray(got.cams),
+                               np.asarray(ref.cams), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.points),
+                               np.asarray(ref.points), rtol=1e-3, atol=1e-3)
 
 
 def test_spmd_facto_bf16_matches_f32():
