@@ -18,11 +18,18 @@ exactly (direct factorization), which PCG reproduces with ``rtol ~ 1e-12``.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Default window (consecutive CG steps without a 4% best-residual
+# improvement) that `lm_jit` passes to `pcg` when W is stored in a low
+# precision — the only regime where the matvec is inexact enough that
+# the attainable floor can sit above tol. Env-overridable for sweeps.
+STAGNATION_WINDOW = int(_os.environ.get("BA_CG_STAG_WINDOW", 8))
 
 
 class PCGResult(NamedTuple):
@@ -83,14 +90,24 @@ def block_jacobi_apply(Minv: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
 
 
-@partial(jax.jit, static_argnames=("matvec", "precond", "max_iters"))
+@partial(jax.jit, static_argnames=("matvec", "precond", "max_iters",
+                                   "stagnation_window"))
 def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable,
-        rtol, max_iters: int = 100, x0=None) -> PCGResult:
+        rtol, max_iters: int = 100, x0=None,
+        stagnation_window: int = 0) -> PCGResult:
     """Preconditioned CG for ``S x = b`` with S SPD, matrix-free.
 
     ``b``/``x`` have shape (ncams, 9); inner products run over all entries.
     Stops when ``||r|| <= rtol * ||b||`` or after ``max_iters`` matvecs
     (static bound — the whole loop stays on device inside one XLA while).
+
+    ``stagnation_window > 0`` additionally stops after that many
+    consecutive steps without a 4% best-residual improvement — for
+    INEXACT matvecs (low-precision W storage) whose attainable residual
+    floor can sit just above ``tol``.  Off by default: exact-arithmetic
+    CG may legitimately plateau for long stretches on ill-conditioned S
+    before superlinear convergence kicks in (the rtol=1e-12
+    direct-solve parity test stalls at 1.7e-6 with a window of 8).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -106,16 +123,19 @@ def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable,
     r0 = b - matvec(x0)
     z0 = precond(r0)
     state0 = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32),
-              jnp.asarray(False))
+              jnp.asarray(False), dot(r0, r0), jnp.asarray(0, jnp.int32))
 
     def cond(state):
-        x, r, z, p, rz, it, down = state
-        return jnp.logical_and(
+        x, r, z, p, rz, it, down, best_r2, stag = state
+        live = jnp.logical_and(
             jnp.logical_and(it < max_iters, jnp.logical_not(down)),
             jnp.sqrt(dot(r, r)) > tol)
+        if stagnation_window > 0:
+            live = jnp.logical_and(live, stag < stagnation_window)
+        return live
 
     def body(state):
-        x, r, z, p, rz, it, _ = state
+        x, r, z, p, rz, it, _, best_r2, stag = state
         Sp = matvec(p)
         pSp = dot(p, Sp)
         # Breakdown (pSp <= 0: S numerically indefinite — e.g. the
@@ -133,9 +153,21 @@ def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable,
         rz_new = dot(r, z)
         beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, down)
+        # Stagnation: with an inexact matvec (low-precision W) the
+        # attainable residual stalls at ~eps_facto * kappa-ish, which can
+        # sit just ABOVE tol — CG then grinds to max_iters chasing matvec
+        # noise (measured 27-30 matvecs/solve at LadyBug-460 bf16,
+        # logs/r4/bf16_floor_sweep.log). Track the best ||r||^2; no 4%
+        # improvement in `stagnation_window` consecutive steps = converged
+        # to the attainable floor, stop. LM's gain-ratio acceptance
+        # absorbs the resulting inexact step.
+        r2 = dot(r, r)
+        improved = r2 < 0.96 * best_r2
+        stag = jnp.where(improved, 0, stag + 1).astype(jnp.int32)
+        best_r2 = jnp.minimum(best_r2, r2)
+        return (x, r, z, p, rz_new, it + 1, down, best_r2, stag)
 
-    x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, state0)
+    x, r, _, _, _, it, _, _, _ = jax.lax.while_loop(cond, body, state0)
     return PCGResult(x=x, iters=it,
                      rel_res=jnp.sqrt(dot(r, r)) / bnorm_safe)
 

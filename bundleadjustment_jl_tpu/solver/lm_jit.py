@@ -124,6 +124,18 @@ class LMJitResult(NamedTuple):
 import os as _os
 KMINOR_MAX_OBS = int(_os.environ.get("BA_KMINOR_MAX_OBS", 12_000_000))
 
+# CG relative-tolerance floor under low-precision W storage, as a multiple
+# of eps(facto_dtype).  The bf16-perturbed S supports descent directions,
+# not tight linear solves: driving CG below ~8*eps(facto) chases matvec
+# noise (longer solves) AND yields steps the f32 objective rejects near
+# convergence (LM rejection churn).  Swept 0.5/4/8 over the LadyBug ->
+# Venice ladder + Trafalgar-257 (logs/r4/bf16_floor_sweep.log): at 8,
+# bf16-W matches f32 LM iterations within +1 everywhere while using
+# ~0.5x the CG matvecs; at 0.5 Trafalgar burned 325 vs 90 matvecs.
+# LM absorbs the looser step via its gain-ratio test (inexact-Newton,
+# forcing eta <= 0.5 preserves local convergence).  Env-overridable.
+_CG_FLOOR_MULT = float(_os.environ.get("BA_CG_FLOOR_MULT", 8.0))
+
 
 def _kminor(problem, dtype, pallas_mode, use_cgls, use_dense) -> bool:
     """Use the fused k-minor assembly? Requires the Pallas path (its
@@ -356,7 +368,8 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             # matvecs at Dubrovnik-356 with bf16 W before this floor,
             # logs/profile_r3b_dub_bf16.log). LM absorbs the inexact
             # step via its gain-ratio acceptance (inexact-Newton).
-            floor = 0.5 * float(jnp.finfo(jnp.dtype(facto_dtype)).eps)
+            floor = _CG_FLOOR_MULT * float(
+                jnp.finfo(jnp.dtype(facto_dtype)).eps)
             rtol_cg = jnp.maximum(rtol_cg, jnp.asarray(floor, dtype))
         lam_f = lam
         if use_cgls:
@@ -390,9 +403,14 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             # re-linearization) — saves CG matvecs late in the solve.
             x0 = st["dc"].reshape(-1, 9).astype(sys.b.dtype) \
                 if pcg_warm else None
+            # Stagnation stop only with an inexact (low-precision-W)
+            # matvec — exact CG may plateau legitimately; see ops/pcg.py.
+            from bundleadjustment_jl_tpu.ops.pcg import STAGNATION_WINDOW
+            stag = STAGNATION_WINDOW if facto_dtype is not None else 0
             res = pcg(lambda v: schur_matvec(sys, v), sys.b,
                       lambda v: block_jacobi_apply(M_inv, v),
-                      rtol=rtol_cg, max_iters=pcg_max_iters, x0=x0)
+                      rtol=rtol_cg, max_iters=pcg_max_iters, x0=x0,
+                      stagnation_window=stag)
             dc, cg_iters = res.x, res.iters
             # back-substitution + quad-form cross term share one W stream
             dp, Jd2_nc = back_substitute_quad(problem, blocks, sys, dc)
@@ -519,8 +537,22 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         cams_n, points_n, blocks_n, obj_n, gnorm_n = jax.lax.cond(
             accept, on_accept, on_reject, None)
 
-        small_obj = jnp.logical_and(
-            accept, obj - obj_n < hp["oatol"] + hp["ortol"] * jnp.abs(obj))
+        obj_tol = hp["oatol"] + hp["ortol"] * jnp.abs(obj)
+        small_obj = jnp.logical_and(accept, obj - obj_n < obj_tol)
+        if facto_dtype is not None:
+            # Predicted-reduction stop (low-precision-W path only): when
+            # even the Gauss-Newton model's full predicted decrease is
+            # below the small-obj-change tolerance, any accepted step
+            # would stop next iteration — and a REJECTED one (common at
+            # the noise floor with low-precision W: the perturbed step's
+            # ared goes negative while pred stays tiny) would burn
+            # further solves at growing lambda for progress the tolerance
+            # already deems negligible. Mirrors the actual-decrease test
+            # one step early (`lm.jl`'s small_obj ared test; same
+            # tolerance). Full-precision runs keep the reference-exact
+            # stopping semantics (host/jit driver parity tests pin them).
+            small_obj = jnp.logical_or(
+                small_obj, jnp.logical_and(pred > 0, pred < obj_tol))
 
         rnorm_n = jnp.sqrt(2.0 * obj_n)
         status = jnp.where(
