@@ -260,6 +260,13 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    # Raise Mosaic's 16 MB scoped-vmem cap at large camera counts: the
+    # (ncams, 90) accumulator + (ncams, C) scatter one-hots measured
+    # 48.27 MB at ncams=13682 (logs/r4/abtest_r4.log group C; v5e has
+    # 128 MB VMEM/core). Same fix as pallas_schur.matvec_cam_scatter.
+    params = None
+    if ncams * (C + 180) * 4 > 12 * 2**20:
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -267,6 +274,7 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
                    jax.ShapeDtypeStruct((ntiles * P, 12), jnp.float32),
                    jax.ShapeDtypeStruct((ncams, 90), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        compiler_params=params,
         interpret=interpret,
     )(bounds, pw, pts16, cams)
 
