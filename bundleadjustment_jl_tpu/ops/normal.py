@@ -210,6 +210,8 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         Hpp = seg_by_pnt(problem, jjT_outer(Jp_f, 3, Jp_f, 3)).reshape(
             -1, 3, 3)
         W = jjT_outer(Jc_f, 9, Jp_f, 3)
+        if w_dtype is not None:
+            W = W.astype(w_dtype)
         if not with_jr:
             r = Jc = Jp = None
         return GNBlocks.from_shaped(g_c, g_p, Hcc, Hpp, W, obj, r, Jc, Jp)
@@ -261,6 +263,13 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
               jnp.zeros((nc * 81,), dt), jnp.zeros((np_ * 9,), dt),
               jnp.zeros((), dt))
 
+    # Cast each W chunk to the storage dtype INSIDE the scan (bf16
+    # facto): the stacked ys buffer is then (n*27,) in w_dtype and the
+    # full-width f32 W (3.4 GB at Final-13682) never exists. f16 cannot
+    # take this path (range scale needs the global max first,
+    # `_maybe_cast_facto`) — its callers pass w_dtype=None here.
+    wd = dt if w_dtype is None else jnp.dtype(w_dtype)
+
     def body(carry, x):
         g_c, g_p, Hcc, Hpp, obj = carry
         ci, pi, row0, w = x
@@ -269,8 +278,8 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
             (chunk, 2))
         dobj, dg_c, dg_p, dHcc, dHpp, W, (r, Jc_f, Jp_f) = block(
             ci, pi, xy.reshape(-1), w, chunk)
-        ys = (W.reshape(-1),) if not with_jr else (
-            W.reshape(-1), r.reshape(-1), Jc_f, Jp_f)
+        ys = (W.reshape(-1).astype(wd),) if not with_jr else (
+            W.reshape(-1).astype(wd), r.reshape(-1), Jc_f, Jp_f)
         return (g_c + dg_c, g_p + dg_p, Hcc + dHcc, Hpp + dHpp,
                 obj + dobj), ys
 
@@ -286,7 +295,7 @@ def assemble_blocks(problem: BAProblem, cams=None, points=None,
         obj = obj + dobj
         g_c, g_p = g_c + dg_c, g_p + dg_p
         Hcc, Hpp = Hcc + dHcc, Hpp + dHpp
-        W = jnp.concatenate([W, W_t.reshape(-1)])
+        W = jnp.concatenate([W, W_t.reshape(-1).astype(wd)])
         if with_jr:
             r = jnp.concatenate([r, r_t.reshape(-1)])
             Jc = jnp.concatenate([Jc, Jc_t])

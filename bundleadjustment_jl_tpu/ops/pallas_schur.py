@@ -497,6 +497,13 @@ def to_k_minor(W_f: jnp.ndarray) -> jnp.ndarray:
     # every buffer packed; the final reshape is a bitcast.
     def step(i, out):
         w = jax.lax.dynamic_slice(W_f, (i * (chunk * 27),), (chunk * 27,))
+        # Barrier between the flat slice and the (chunk, 27) view: the
+        # algebraic simplifier otherwise commutes slice-of-flat into
+        # slice-of-reshape and hoists ONE whole (n, 27) reshape out of
+        # the loop — which layout-assigns T(8,128) (27 lanes pad to 128)
+        # = 7.44 GB at Final-13682, the measured _lm_run HBM OOM
+        # (logs/r4/final_capacity_r4.log allocation #1).
+        w = jax.lax.optimization_barrier(w)
         wt = w.reshape(chunk, 27).T
         for k in range(27):
             out = jax.lax.dynamic_update_slice(
@@ -506,7 +513,9 @@ def to_k_minor(W_f: jnp.ndarray) -> jnp.ndarray:
     out = jax.lax.fori_loop(
         0, nchunks, step, jnp.zeros((K_PAD * n,), W_f.dtype))
     if n > nfull:
-        wt = W_f[nfull * 27:].reshape(-1, 27).T
+        # Same barrier as in `step`: keep the tail reshape on the slice.
+        wt = jax.lax.optimization_barrier(
+            W_f[nfull * 27:]).reshape(-1, 27).T
         for k in range(27):
             out = jax.lax.dynamic_update_slice(
                 out, wt[k], (k * n + nfull,))

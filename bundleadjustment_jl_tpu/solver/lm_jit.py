@@ -230,6 +230,11 @@ def _maybe_cast_facto(blocks, facto_dtype):
             W_cam_t=(None if blocks.W_cam_t is None
                      else (blocks.W_cam_t * mul).astype(fd)),
             w_scale=scale)
+    if scale is None and blocks.W_f.dtype == fd:
+        # Already emitted in the storage dtype by the assembly scan
+        # (`_w_assemble_dtype`): a redundant *1.0 copy here would
+        # re-materialize the 1.6 GB flat W at Final-13682.
+        return blocks
     return blocks._replace(W_f=(blocks.W_f * mul).astype(fd),
                            w_scale=scale)
 
@@ -275,7 +280,7 @@ def _lm_init_impl(problem: BAProblem, cams, points, hp, *, max_iters,
     kminor0 = _kminor(problem, dtype, pallas_mode, use_cgls, use_dense)
     blocks0 = assemble_blocks(
         problem, cams, points, with_jr=use_cgls, kminor=kminor0,
-        w_dtype=_w_assemble_dtype(facto_dtype) if kminor0 else None)
+        w_dtype=_w_assemble_dtype(facto_dtype))
     obj0 = blocks0.obj
     gnorm0 = gradient_norm(blocks0)
     blocks0 = _maybe_cast_facto(blocks0, facto_dtype)
@@ -335,9 +340,12 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
         # folded into assembly and ||J d||^2 comes from quad_form, so the
         # (nobs, 26) r/Jc/Jp arrays never hit HBM. CGLS iterates on J
         # directly and is the one solver that still needs them.
+        # w_dtype on BOTH assembly forms: the scatter scan casts each W
+        # chunk in-body so the full-width f32 W never exists (3.4 GB at
+        # Final-13682; f16 returns None here and casts post-scale).
         blocks = assemble_blocks(
             problem, c, p, with_jr=use_cgls, kminor=kminor,
-            w_dtype=_w_assemble_dtype(facto_dtype) if kminor else None)
+            w_dtype=_w_assemble_dtype(facto_dtype))
         cast = _carry_kminor(
             problem, _maybe_cast_facto(blocks, facto_dtype),
             pallas_mode=pallas_mode, use_cgls=use_cgls,
