@@ -360,28 +360,44 @@ def _assemble_kminor(problem: BAProblem, cams, points,
     cxw = pallas_linearize.pack_operands(
         cams, points, problem.cam_idx, problem.pnt_idx, problem.pt2d,
         problem.w)
-    JR_t, W_t = pallas_linearize.linearize_w_kminor(cxw)
+    JR_t, W_t = pallas_linearize.linearize_w_kminor(cxw, w_dtype=w_dtype)
     # spmd: objective and camera-space blocks sum over the mesh axis
     # (rows are device-local); point-space blocks stay local.
     obj = spmdctx.psum(0.5 * jnp.sum(JR_t[24:26] ** 2))
-    if pallas_schur.cam_scatter_ok(problem, problem.ncams):
+    # A full camera-sorted JR copy stops paying at Final scale: JR_cam_t
+    # is another 4.0 GB f32 resident and its lane permutation takes the
+    # relayout-unsafe huge-n gather path. There, reduce the camera
+    # blocks with the one-hot scatter kernel instead (O(ncams*C) MXU
+    # work, but ONCE per accepted step, not per matvec).
+    huge = (JR_t.shape[1] * 128 * 4
+            > pallas_schur.GATHER_DIRECT_MAX_BYTES)
+    if pallas_schur.cam_scatter_ok(problem, problem.ncams) or huge:
         # camera-scatter mode: camera-direction reduces stream the
-        # point-sorted arrays directly — the camera-sorted JR/W lane
-        # permutations (256+128 B/row of gather traffic and W_cam_t's
-        # HBM residency) are never built.
+        # point-sorted arrays directly — the camera-sorted JR lane
+        # permutation (256 B/row of gather traffic and 4 GB of HBM
+        # residency at Final) is never built.
         bounds = pallas_schur.tile_bounds(problem.pnt_starts,
                                           problem.npnts)
         out_c = spmdctx.psum(pallas_schur.cam_scatter_reduce(
             JR_t, problem.cam_idx, bounds, problem.ncams, d_out=90,
             prod=pallas_schur._prod_cam90))
         W_cam_t = None
+        if huge and not pallas_schur.cam_scatter_ok(problem,
+                                                    problem.ncams):
+            # The per-MATVEC camera reduce still wants the cam-sorted
+            # W (segsum 95 ms vs one-hot scatter 1709 ms per matvec at
+            # ncams=13682, logs/r3e/abtest.log): build W_cam_t from the
+            # already-cast W_t with the flat row-gather (relayout-free).
+            W_cam_t = pallas_schur.gather_k_minor(W_t, problem.cam_perm)
     else:
         cam_perm = problem.cam_perm
         JR_cam_t = JR_t[:, cam_perm]
         out_c = spmdctx.psum(pallas_schur.jtj_cam_reduce(
             JR_cam_t, problem.cam_idx[cam_perm], problem.cam_starts,
             problem.ncams))
-        W_cam_t = W_t[:, cam_perm].astype(dt)
+        W_cam_t = W_t[:, cam_perm]
+        if not w_dtype:
+            W_cam_t = W_cam_t.astype(dt)
     out_p = pallas_schur.jtj_pnt_reduce(
         JR_t, problem.pnt_idx, problem.pnt_starts, problem.npnts)
     return GNBlocks(
@@ -390,10 +406,8 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         Hcc_f=out_c[:, :81].astype(dt).reshape(-1),
         Hpp_f=out_p[:, :9].astype(dt).reshape(-1),
         W_f=None, obj=obj,
-        W_t=W_t.astype(jnp.dtype(w_dtype) if w_dtype else dt),
-        W_cam_t=(None if W_cam_t is None
-                 else W_cam_t.astype(jnp.dtype(w_dtype))
-                 if w_dtype else W_cam_t))
+        W_t=W_t if w_dtype else W_t.astype(dt),
+        W_cam_t=W_cam_t)
 
 
 def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:

@@ -243,9 +243,17 @@ def _block_cols(n_pad: int) -> int:
 
 def pack_operands(cams, points, cam_idx, pnt_idx, pt2d, w) -> jnp.ndarray:
     """Build the (16, n_pad) packed operand array (all lane gathers —
-    measured ~free on this backend, unlike sublane-dim transposes)."""
-    c_t = cams.T[:, cam_idx]                     # (9, n)
-    x_t = points.T[:, pnt_idx]                   # (3, n)
+    measured ~free on this backend, unlike sublane-dim transposes).
+
+    The gathers route through :func:`pallas_schur.gather_k_minor`: at
+    small n it is exactly ``t[:, idx]`` (unchanged Venice/Dubrovnik
+    programs), at Final-13682 the direct form's row-major relayout
+    tile-pads 9 -> 128 lanes (f32[31.2M, 9] = 14.87 GB, the measured
+    _lm_run HBM OOM when the k-minor assembly is enabled at Final,
+    /tmp/probe_kminor round 4) while the chunked form bounds the temp."""
+    from bundleadjustment_jl_tpu.ops.pallas_schur import gather_k_minor
+    c_t = gather_k_minor(cams.T, cam_idx)        # (9, n)
+    x_t = gather_k_minor(points.T, pnt_idx)      # (3, n)
     xy_t = pt2d.T                                # (2, n)
     w_t = w.reshape(1, -1)
     z = jnp.zeros_like(w_t)
@@ -253,11 +261,14 @@ def pack_operands(cams, points, cam_idx, pnt_idx, pt2d, w) -> jnp.ndarray:
         [c_t, x_t, xy_t, w_t, z], axis=0).astype(jnp.float32)
 
 
-def linearize_w_kminor(cxw_t: jnp.ndarray, *, interpret=None):
+def linearize_w_kminor(cxw_t: jnp.ndarray, *, w_dtype=None,
+                       interpret=None):
     """(16, n_pad) packed operands -> (JR_t (32, n_pad), W_t (32, n_pad)).
 
     One streaming pass; Mosaic's grid pipeline double-buffers the block
-    DMAs automatically.
+    DMAs automatically.  ``w_dtype``: storage dtype for the W output —
+    the kernel casts on write, so at bf16 facto the full-width f32 W_t
+    (4.0 GB at Final-13682) never exists in HBM.
     """
     if interpret is None:
         from bundleadjustment_jl_tpu.ops.pallas_schur import INTERPRET
@@ -266,11 +277,13 @@ def linearize_w_kminor(cxw_t: jnp.ndarray, *, interpret=None):
     C = _block_cols(n)
     grid = (n // C,)
     out = jax.ShapeDtypeStruct((32, n), jnp.float32)
+    out_w = jax.ShapeDtypeStruct((32, n), jnp.dtype(w_dtype)
+                                 if w_dtype else jnp.float32)
     return pl.pallas_call(
         _linearize_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((16, C), lambda i: (0, i))],
         out_specs=[pl.BlockSpec((32, C), lambda i: (0, i))] * 2,
-        out_shape=[out, out],
+        out_shape=[out, out_w],
         interpret=interpret,
     )(cxw_t)

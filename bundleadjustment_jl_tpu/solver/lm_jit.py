@@ -115,14 +115,17 @@ class LMJitResult(NamedTuple):
         return int(self.iterations) + self.neval_jac
 
 
-# Above this observation count the k-minor assembly's transients (the
-# stacked (32, n) linearization in point- AND camera-sorted order, ~32 B/obs
-# live at once on top of the carried W operands) outgrow one chip's HBM at
-# Final-13682 scale; the solver falls back to scatter assembly + per-lambda
-# W_t build there (still fused matvec/diag kernels). Override for bigger
-# chips via BA_KMINOR_MAX_OBS.
+# k-minor fused assembly gate. Round 3 capped this at 12M obs: the stacked
+# (32, n) linearization in point- AND camera-sorted order outgrew HBM at
+# Final-13682. Round 4 removed both blockers — the camera-sorted JR copy
+# (one-hot scatter d90 reduce instead, `normal._assemble_kminor` huge
+# branch) and the tile-padded operand gathers (`pack_operands` via
+# gather_k_minor) — so Final now rides the fused path: 16.5 s/iter vs 31 s
+# on the scatter-assembly fallback (logs/r4/final_capacity_r4_kminor.log)
+# and 66 s in round 3. The cap now only guards genuinely-unknown larger
+# shapes; override via BA_KMINOR_MAX_OBS.
 import os as _os
-KMINOR_MAX_OBS = int(_os.environ.get("BA_KMINOR_MAX_OBS", 12_000_000))
+KMINOR_MAX_OBS = int(_os.environ.get("BA_KMINOR_MAX_OBS", 40_000_000))
 
 # CG relative-tolerance floor under low-precision W storage, as a multiple
 # of eps(facto_dtype).  The bf16-perturbed S supports descent directions,
@@ -225,6 +228,10 @@ def _maybe_cast_facto(blocks, facto_dtype):
         scale = jnp.exp2(jnp.floor(jnp.log2(16384.0 / safe)))
     mul = 1.0 if scale is None else scale
     if blocks.W_t is not None:
+        if scale is None and blocks.W_t.dtype == fd:
+            # Already emitted in the storage dtype by the assembly
+            # kernel (`_w_assemble_dtype`): skip the *1.0 copies.
+            return blocks
         return blocks._replace(
             W_t=(blocks.W_t * mul).astype(fd),
             W_cam_t=(None if blocks.W_cam_t is None
@@ -696,6 +703,7 @@ def levenberg_marquardt_jit_chunked(
     checkpoint_every: int = 1,          # in chunks
     resume: bool = False,
     callback=None,
+    stop_after_chunks: Optional[int] = None,
     **options,
 ) -> LMJitResult:
     """LM solve segmented into host-checked chunks of ``chunk_iters``.
@@ -797,6 +805,12 @@ def levenberg_marquardt_jit_chunked(
                       "lam": float(scal["lam"]),
                       "status": STATUS_NAMES[int(scal["status"])],
                       "elapsed": time.perf_counter() - t0})
+        if stop_after_chunks is not None and nchunk >= stop_after_chunks:
+            # Warm-up hook: benchmarks dispatch one chunk to absorb the
+            # per-process executable load (~280 s at Final-13682 even on
+            # a persistent-cache HIT, logs/r4/final_capd2) before the
+            # timed solve — the same role as bench.py's warm-up solve.
+            break
 
     return _finalize(state, final_status=final_status,
                      elapsed=time.perf_counter() - t0)

@@ -102,6 +102,26 @@ def main(max_nobs=40_000_000, only=None):
         problem = jax.device_put(problem)
         float(sum(jnp.sum(x.astype(jnp.float32))
                   for x in jax.tree.leaves(problem)))
+        solve_kwargs = dict(
+            max_iters=max_iters,
+            chunk_iters=1 if problem.nobs > 10_000_000 else 5,
+            pcg_max_iters=100, lam0_mode="diag",
+            satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
+            oatol=0.0, ortol=1e-4, facto_dtype=facto)
+        # Warm dispatch (1 iteration): first use of each compiled
+        # program pays a ~280 s remote executable load on this tunnel
+        # EVEN ON a persistent-cache hit (measured: logs/r4; 315 s first
+        # chunk vs 31 s steady at Final-13682). bench.py and the
+        # campaign warm up and report compile separately — the timed
+        # region everywhere is HBM-resident problem -> solution, the
+        # reference's own convention (`benchmark.jl:57` times with the
+        # model in RAM). load_s is recorded alongside.
+        t0 = time.perf_counter()
+        warm = levenberg_marquardt_jit_chunked(
+            problem, **solve_kwargs, stop_after_chunks=1)
+        load_s = time.perf_counter() - t0
+        print(f"[capacity] warm chunk: {load_s:.1f}s "
+              f"it={int(warm.iterations)}", flush=True)
         t0 = time.perf_counter()
         try:
             res = levenberg_marquardt_jit_chunked(
@@ -110,12 +130,7 @@ def main(max_nobs=40_000_000, only=None):
                 # crashes the experimental remote runtime while 1-2 iter
                 # dispatches complete (logs/r3c/, probe_final_exec2).
                 # One iteration per dispatch keeps each under the limit.
-                problem, max_iters=max_iters,
-                chunk_iters=1 if problem.nobs > 10_000_000 else 5,
-                max_time=3600.0, pcg_max_iters=100, lam0_mode="diag",
-                satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
-                oatol=0.0, ortol=1e-4,
-                facto_dtype=facto,
+                problem, **solve_kwargs, max_time=3600.0,
                 callback=lambda d: print(f"[capacity]   {d}", flush=True))
             obj = float(res.objective)
             row = {
@@ -131,6 +146,7 @@ def main(max_nobs=40_000_000, only=None):
                 "expected_obj": round(
                     0.5 * (2 * problem.nobs - problem.nvar), 0),
                 "facto_dtype": facto, "chip": "single",
+                "load_s": None if load_s is None else round(load_s, 1),
                 "pallas": use_pallas,
                 "ref_note": REF_NOTE.get(ncams, ""),
             }

@@ -93,8 +93,13 @@ def main(max_time=80.0):
     print(f"nobs={problem.nobs}", flush=True)
 
     # Warm pass: compile-cache loads + first dispatch of every program.
+    # max_time must cover ONE _lm_run chunk: the first dispatch pays the
+    # remote executable load (~300 s for the 412 MB Final program,
+    # logs/r4/final_capd2 — cache HIT, still 315 s) — with max_time=1.0
+    # the driver stops after init and _lm_run stays cold, so the traced
+    # pass would capture the load instead of steady-state iterations.
     t0 = time.perf_counter()
-    res = solve(problem, max_time=1.0)
+    res = solve(problem, max_time=450.0)
     print(f"warm: {time.perf_counter() - t0:.1f} s, "
           f"it={int(res.iterations)} obj={float(res.objective):.6g}",
           flush=True)

@@ -227,6 +227,52 @@ def test_solver_non_kminor_pallas_matches_kminor(monkeypatch,
     assert abs(float(got.objective) - robj) <= 1e-4 * max(1.0, robj)
 
 
+def test_kminor_solver_final_scale_branch(monkeypatch):
+    """The Final-13682 k-minor configuration (round 4): huge-n thresholds
+    force (a) chunk-safe operand gathers in `pack_operands`, (b) the
+    one-hot scatter d90 camera reduce in assembly (no JR_cam_t copy),
+    and (c) a carried cam-sorted W built via the flat row gather. Must
+    match the default kminor solve decision-for-decision."""
+    from bundleadjustment_jl_tpu.solver import lm_jit
+
+    prob, _ = synthetic_bal(ncams=8, npnts=256, obs_per_pnt=4, seed=5,
+                            dtype=jnp.float32, noise_px=1.0, perturb=2e-2,
+                            pad_obs_to=1024)
+    opts = dict(max_iters=15, pcg_max_iters=60, lam0_mode="diag",
+                facto_dtype=jnp.bfloat16)
+    old = (pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET)
+    try:
+        pallas_schur.set_mode(True)
+        pallas_schur.INTERPRET = True
+        ref = levenberg_marquardt_jit(prob, **opts)
+        # Force every huge-n branch (thresholds are read at trace time).
+        monkeypatch.setattr(pallas_schur, "GATHER_DIRECT_MAX_BYTES", 0)
+        monkeypatch.setattr(pallas_schur, "GATHER_CHUNK", 512)
+        lm_jit._lm_init.clear_cache()
+        lm_jit._lm_run.clear_cache()
+        try:
+            # The huge branch must produce a carried cam-sorted W and
+            # the same assembly blocks.
+            from bundleadjustment_jl_tpu.ops.normal import assemble_blocks
+            got_b = assemble_blocks(prob, with_jr=False, kminor=True,
+                                    w_dtype=jnp.bfloat16)
+            assert got_b.W_cam_t is not None
+            assert got_b.W_cam_t.dtype == jnp.bfloat16
+            ref_b = assemble_blocks(prob, with_jr=False)
+            for name in ("g_c_f", "g_p_f", "Hcc_f", "Hpp_f"):
+                a, b = getattr(got_b, name), getattr(ref_b, name)
+                assert float(jnp.max(jnp.abs(a - b))) <= _tol(b), name
+            got = levenberg_marquardt_jit(prob, **opts)
+        finally:
+            lm_jit._lm_init.clear_cache()
+            lm_jit._lm_run.clear_cache()
+    finally:
+        pallas_schur.PALLAS_MODE, pallas_schur.INTERPRET = old
+    assert int(got.iterations) == int(ref.iterations)
+    robj = float(ref.objective)
+    assert abs(float(got.objective) - robj) <= 1e-4 * max(1.0, robj)
+
+
 def test_kminor_assembly_matches_xla():
     """Fused-kernel assembly == XLA assembly on every block, and the
     k-minor W operands match the transposed/permuted W_f."""
