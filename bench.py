@@ -148,6 +148,10 @@ def main():
     # lm.jl:99): bf16 W blocks inside the f32 LM — halves the dominant
     # matvec traffic. Reported alongside; headline stays full f32.
     bf_s, bf_res, bf_obj, _ = run(dubrovnik, facto_dtype=jnp.bfloat16)
+    # f16 W with exact power-of-two range equilibration (the heir of the
+    # reference's F16 facto + normalize_F16!, lma_aux.jl:27-52): same
+    # byte savings as bf16, more mantissa, needs the range scale.
+    f16_s, f16_res, f16_obj, _ = run(dubrovnik, facto_dtype=jnp.float16)
 
     it = int(dub_res.iterations)
     cg = int(jnp.sum(dub_res.hist_cg))
@@ -181,6 +185,11 @@ def main():
         "bf16facto_rmse_px": round((2.0 * bf_obj / nequ) ** 0.5, 4),
         "bf16facto_status": STATUS_NAMES[int(bf_res.status)],
         "bf16facto_iterations": int(bf_res.iterations),
+        "f16facto_s": round(f16_s, 4),
+        "f16facto_vs_baseline": round(BASE_DUBROVNIK_S / f16_s, 2),
+        "f16facto_rmse_px": round((2.0 * f16_obj / nequ) ** 0.5, 4),
+        "f16facto_status": STATUS_NAMES[int(f16_res.status)],
+        "f16facto_iterations": int(f16_res.iterations),
     }))
 
 

@@ -384,11 +384,31 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         W_cam_t = None
         if huge and not pallas_schur.cam_scatter_ok(problem,
                                                     problem.ncams):
-            # The per-MATVEC camera reduce still wants the cam-sorted
-            # W (segsum 95 ms vs one-hot scatter 1709 ms per matvec at
-            # ncams=13682, logs/r3e/abtest.log): build W_cam_t from the
-            # already-cast W_t with the flat row-gather (relayout-free).
-            W_cam_t = pallas_schur.gather_k_minor(W_t, problem.cam_perm)
+            # The per-MATVEC camera reduce still wants the cam-sorted W
+            # (segsum 95 ms vs one-hot scatter 1709 ms per matvec at
+            # ncams=13682, logs/r3e/abtest.log). Permuting W_t costs
+            # 9.6 s per accept (32 random-access row gathers at
+            # ~0.8 GB/s, logs/r4/final_profile_r4c.log); RE-LINEARIZING
+            # on camera-sorted operands streams at kernel rate and is
+            # bit-identical (same per-lane f32 chain).
+            # Operand rows built in k-minor form throughout — a row
+            # gather of the (n, 2) pt2d would tile-pad 2 -> 128 lanes
+            # (16 GB at Final); the (2, n) transpose + 2-row flat
+            # gather stays packed.
+            perm = problem.cam_perm
+            ci_cs = problem.cam_idx[perm]
+            pi_cs = problem.pnt_idx[perm]
+            xy_cs = pallas_schur.gather_k_minor(problem.pt2d.T, perm)
+            w_cs = problem.w[perm].reshape(1, -1)
+            c_t = pallas_schur.gather_k_minor(cams.T, ci_cs)
+            x_t = pallas_schur.gather_k_minor(points.T, pi_cs)
+            cxw_cs = jnp.concatenate(
+                [c_t, x_t, xy_cs, w_cs, jnp.zeros_like(w_cs)],
+                axis=0).astype(jnp.float32)
+            W_cam_t = pallas_linearize.linearize_w_only(
+                cxw_cs, w_dtype=w_dtype)
+            if not w_dtype:
+                W_cam_t = W_cam_t.astype(dt)
     else:
         cam_perm = problem.cam_perm
         JR_cam_t = JR_t[:, cam_perm]
@@ -416,8 +436,11 @@ def gradient_norm(blocks: GNBlocks) -> jnp.ndarray:
     spmd: ``g_c`` is replicated (psummed at assembly), ``g_p`` is local
     per shard — only the point term all-reduces."""
     from bundleadjustment_jl_tpu.ops import spmdctx
-    return jnp.sqrt(jnp.sum(blocks.g_c ** 2)
-                    + spmdctx.psum(jnp.sum(blocks.g_p ** 2)))
+    # Flat views: squaring the (npnts, 3) shaped view materializes it
+    # tile-padded 42.7x (2.12 GB at Final-13682 inside the accept
+    # branch, logs/r4/final_capacity_r4_relin.log allocation #2).
+    return jnp.sqrt(jnp.sum(blocks.g_c_f ** 2)
+                    + spmdctx.psum(jnp.sum(blocks.g_p_f ** 2)))
 
 
 def inv3x3(M: jnp.ndarray) -> jnp.ndarray:

@@ -232,6 +232,56 @@ def _linearize_kernel(x_ref, jr_ref, w_ref):
     w_ref[:] = jnp.concatenate(w_rows, axis=0).astype(w_ref.dtype)
 
 
+def _linearize_w_only_kernel(x_ref, w_ref):
+    """One (16, C) block -> W (32, C) only: the per-accept camera-sorted
+    W rebuild (`linearize_w_only`) discards JR, so the (32, n) f32 JR
+    buffer (4.0 GB at Final-13682) never exists on that pass."""
+    x = x_ref[:].astype(jnp.float32)
+
+    def row(i):
+        return x[i:i + 1, :]
+
+    Jc, Jp, res = linearize_chain(
+        [row(0), row(1), row(2)], [row(3), row(4), row(5)],
+        row(6), row(7), row(8), [row(9), row(10), row(11)],
+        [row(12), row(13)], row(14))
+
+    zero = jnp.zeros_like(res[0])
+    w_rows = []
+    for a in range(9):
+        for b in range(3):
+            w_rows.append(Jc[a] * Jp[0][b] + Jc[9 + a] * Jp[1][b])
+    w_rows += [zero] * 5
+    w_ref[:] = jnp.concatenate(w_rows, axis=0).astype(w_ref.dtype)
+
+
+def linearize_w_only(cxw_t: jnp.ndarray, *, w_dtype=None, interpret=None):
+    """(16, n_pad) packed operands -> W_t (32, n_pad) ONLY.
+
+    Round-4 Final-13682 profile: building the carried camera-sorted W by
+    permuting the point-sorted W_t costs 9.6 s per accepted step (32 flat
+    row gathers at ~0.8 GB/s — random 2-byte loads are latency-bound,
+    logs/r4/final_profile_r4c.log op fusion.817). Re-running the
+    linearization chain on camera-sorted operands streams at the
+    bandwidth-saturated kernel rate instead and produces byte-identical
+    W values (same per-lane f32 chain, order-independent)."""
+    if interpret is None:
+        from bundleadjustment_jl_tpu.ops.pallas_schur import INTERPRET
+        interpret = INTERPRET
+    n = cxw_t.shape[1]
+    C = _block_cols(n)
+    out_w = jax.ShapeDtypeStruct((32, n), jnp.dtype(w_dtype)
+                                 if w_dtype else jnp.float32)
+    return pl.pallas_call(
+        _linearize_w_only_kernel,
+        grid=(n // C,),
+        in_specs=[pl.BlockSpec((16, C), lambda i: (0, i))],
+        out_specs=[pl.BlockSpec((32, C), lambda i: (0, i))],
+        out_shape=[out_w],
+        interpret=interpret,
+    )(cxw_t)[0]
+
+
 def _block_cols(n_pad: int) -> int:
     C = min(BLOCK_COLS, n_pad)
     while C > 128 and n_pad % C:
