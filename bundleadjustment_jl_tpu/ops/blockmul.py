@@ -80,6 +80,21 @@ def m33_dot(M9: jnp.ndarray, t_rows: jnp.ndarray) -> jnp.ndarray:
     return _mm(M9 * jnp.tile(t_rows, (1, 3)), _B9_A)
 
 
+def m33_dot_kminor(M9_f: jnp.ndarray, t_f: jnp.ndarray) -> jnp.ndarray:
+    """``Hpp_inv @ t`` per point, emitted K-MINOR: (3, npnts), row a =
+    sum_b M[3a+b] t[b], built from STRIDED slices of the flat inputs.
+
+    Exists for huge-n sites that feed a k-minor Pallas operand: the
+    row-major (npnts, 3) product tile-pads 3 -> 128 lanes when
+    materialized as an internal buffer (2.12 GB at Final-13682,
+    logs/r4/final_capacity_r4_relin2.log allocation #2 — the
+    ``m33_dot(...).T`` handoff into the camera-direction reduce).
+    Strided flat slices and the (3, n) stack stay packed."""
+    rows = [sum(M9_f[(3 * a + b)::9] * t_f[b::3] for b in range(3))
+            for a in range(3)]
+    return jnp.stack(rows, axis=0)
+
+
 # --- W (N,27) block products ------------------------------------------------
 
 def w_dot_b(W_f: jnp.ndarray, t_rows: jnp.ndarray) -> jnp.ndarray:

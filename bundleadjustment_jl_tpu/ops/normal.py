@@ -394,19 +394,32 @@ def _assemble_kminor(problem: BAProblem, cams, points,
             # Operand rows built in k-minor form throughout — a row
             # gather of the (n, 2) pt2d would tile-pad 2 -> 128 lanes
             # (16 GB at Final); the (2, n) transpose + 2-row flat
-            # gather stays packed.
+            # gather stays packed. The build runs in HALF-width slices:
+            # one whole-width (16, n) f32 operand is 2.0 GB live on top
+            # of JR_t/W_t, the measured ~0.2 GB HBM overflow at Final
+            # (/tmp/probe_trialfix3, round 4).
             perm = problem.cam_perm
-            ci_cs = problem.cam_idx[perm]
-            pi_cs = problem.pnt_idx[perm]
-            xy_cs = pallas_schur.gather_k_minor(problem.pt2d.T, perm)
-            w_cs = problem.w[perm].reshape(1, -1)
-            c_t = pallas_schur.gather_k_minor(cams.T, ci_cs)
-            x_t = pallas_schur.gather_k_minor(points.T, pi_cs)
-            cxw_cs = jnp.concatenate(
-                [c_t, x_t, xy_cs, w_cs, jnp.zeros_like(w_cs)],
-                axis=0).astype(jnp.float32)
-            W_cam_t = pallas_linearize.linearize_w_only(
-                cxw_cs, w_dtype=w_dtype)
+            n_pad = perm.shape[0]
+            half = n_pad // 2
+            xy_t = problem.pt2d.T
+            cams_t16 = cams.T
+            points_t16 = points.T
+            out_dt = jnp.dtype(w_dtype) if w_dtype else jnp.float32
+            W_cam_t = jnp.zeros((32, n_pad), out_dt)
+            for lo, m in ((0, half), (half, n_pad - half)):
+                perm_s = jax.lax.dynamic_slice(perm, (lo,), (m,))
+                ci_cs = problem.cam_idx[perm_s]
+                pi_cs = problem.pnt_idx[perm_s]
+                xy_cs = pallas_schur.gather_k_minor(xy_t, perm_s)
+                w_cs = problem.w[perm_s].reshape(1, -1)
+                c_t = pallas_schur.gather_k_minor(cams_t16, ci_cs)
+                x_t = pallas_schur.gather_k_minor(points_t16, pi_cs)
+                cxw_cs = jnp.concatenate(
+                    [c_t, x_t, xy_cs, w_cs, jnp.zeros_like(w_cs)],
+                    axis=0).astype(jnp.float32)
+                W_cam_t = jax.lax.dynamic_update_slice(
+                    W_cam_t, pallas_linearize.linearize_w_only(
+                        cxw_cs, w_dtype=out_dt), (0, lo))
             if not w_dtype:
                 W_cam_t = W_cam_t.astype(dt)
     else:

@@ -49,7 +49,7 @@ def objective(problem: BAProblem, cams=None, points=None) -> jnp.ndarray:
 
 
 def objective_chunked(problem: BAProblem, cams, points,
-                      chunk: int) -> jnp.ndarray:
+                      chunk: int, points_t=None) -> jnp.ndarray:
     """0.5 * ||r||^2 streamed over observation chunks.
 
     The one-shot form's ``cams[cam_idx]`` gather materializes a row-major
@@ -57,16 +57,32 @@ def objective_chunked(problem: BAProblem, cams, points,
     Final-13682 (logs/probe_final_compile6.log). Chunking bounds the
     gather to (chunk, 9) per scan step; pt2d windows are dynamic-sliced
     straight from the parameter (cf. `ops/normal.py` streaming assembly;
-    whole-array reforms of the (n, 2) input trigger the same relayout)."""
+    whole-array reforms of the (n, 2) input trigger the same relayout).
+
+    ``points_t``: optional k-minor (3, npnts) point table used INSTEAD of
+    ``points`` — an internally-produced (npnts, 3) gather operand (e.g.
+    trial points ``points + s*dp``) is layout-assigned T(8,128) and
+    tile-pads 3 -> 128 lanes (2.12 GB at Final-13682,
+    logs/r4/final_capacity_r4_relin2.log allocation #3); the k-minor
+    form stays packed and each chunk gathers lanes."""
     cams = problem.cams if cams is None else cams
-    points = problem.points if points is None else points
+    if points_t is None:
+        points = problem.points if points is None else points
     n = problem.nobs_pad
     chunk = min(chunk, n)
     nchunks = n // chunk
     nfull = nchunks * chunk
 
     def piece(ci, pi, xy, w):
-        proj, valid = _project_batch(cams[ci], points[pi])
+        if points_t is not None:
+            # Barrier between the lane gather and the (chunk, 3)
+            # transpose: the simplifier otherwise commutes them into
+            # ONE hoisted (npnts, 3) transpose of the table — padded
+            # 42.7x, exactly the buffer this form exists to avoid.
+            pts = jax.lax.optimization_barrier(points_t[:, pi]).T
+        else:
+            pts = points[pi]
+        proj, valid = _project_batch(cams[ci], pts)
         r = (proj - xy) * (w * valid.astype(w.dtype))[:, None]
         return 0.5 * jnp.sum(r * r)
 

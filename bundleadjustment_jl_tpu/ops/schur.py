@@ -150,9 +150,9 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                       W_t=blocks.W_t, W_cam_t=blocks.W_cam_t,
                       w_scale=blocks.w_scale)
     # b = -g_c + W Hpp_inv g_p   (one 9x3 block product per observation)
-    tmp = m33_dot(sys.Hpp_inv_f, sys.g_p)                    # (npnts,3)
     if _use_pallas(sys):
         from bundleadjustment_jl_tpu.ops import pallas_schur
+        from bundleadjustment_jl_tpu.ops.blockmul import m33_dot_kminor
         ncams = sys.Hcc_l.shape[0]
         if sys.W_t is None:
             W_t = pallas_schur.to_k_minor(blocks.W_f)
@@ -165,10 +165,16 @@ def reduce_system(problem: BAProblem, blocks: GNBlocks, lam) -> SchurSystem:
                 # matvec at ncams=13682 (logs/r3e/abtest.log).
                 sys = sys._replace(
                     W_cam_t=pallas_schur.gather_k_minor(W_t, sys.cam_perm))
-        # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k])
-        tmp8 = pallas_schur.pad_rows(tmp.T, 8)
-        corr = spmdctx.psum(_cam_dir_reduce(sys, tmp8).astype(tmp.dtype))
+        # b = -g_c + segsum_cam(W_k (Hpp_inv g_p)[pnt_k]); the per-point
+        # product goes straight to k-minor (3, npnts) — the row-major
+        # (npnts, 3) handoff tile-padded 42.7x at Final (blockmul
+        # m33_dot_kminor docstring).
+        tmp3 = m33_dot_kminor(sys.Hpp_inv_f, sys.g_p_f)
+        tmp8 = pallas_schur.pad_rows(tmp3, 8)
+        corr = spmdctx.psum(_cam_dir_reduce(sys, tmp8)
+                            .astype(sys.g_p_f.dtype))
         return sys._replace(b_f=(-blocks.g_c + corr).reshape(-1))
+    tmp = m33_dot(sys.Hpp_inv_f, sys.g_p)                    # (npnts,3)
     tmp_obs = take_pnt(tmp, problem.pnt_idx, problem.pnt_starts,
                        problem.pnt_perm)
     # spmd: per-device partial camera sums all-reduce (no-op otherwise)

@@ -150,7 +150,7 @@ def _kminor(problem, dtype, pallas_mode, use_cgls, use_dense) -> bool:
             and pallas_schur.problem_ok(problem, dtype))
 
 
-def _objective(problem, cams, points):
+def _objective(problem, cams, points, points_t=None):
     # sum-of-squares, not vdot: under vmap (batched trial scales) vdot
     # becomes a DEFAULT-precision batched dot_general, which the TPU
     # backend demotes to bf16 and tile-pads at full observation width.
@@ -160,7 +160,7 @@ def _objective(problem, cams, points):
         # Final-scale: the full cams[cam_idx] gather tile-pads 9 -> 128
         # (14.9 GB); stream the objective instead.
         return spmdctx.psum(objective_chunked(
-            problem, cams, points, _ps.GATHER_CHUNK))
+            problem, cams, points, _ps.GATHER_CHUNK, points_t=points_t))
     r = residuals(problem, cams, points)
     # spmd: rows are device-local -> the sum all-reduces (no-op otherwise)
     return spmdctx.psum(0.5 * jnp.sum(r * r))
@@ -479,7 +479,21 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             objs_t = spmdctx.psum(pallas_assemble.objective_scatter(
                 pw, pts_all, cams_all, pofs)).astype(dtype)
         else:
+            from bundleadjustment_jl_tpu.ops import pallas_schur as _ps
+            huge_n = problem.nobs_pad * 128 * 4 > _ps.GATHER_DIRECT_MAX_BYTES
+
             def trial_obj(s):
+                if huge_n:
+                    # Trial points in k-minor (3, npnts) via strided
+                    # slices of the FLAT carries: an internal (npnts, 3)
+                    # gather operand tile-pads 3 -> 128 (2.12 GB at
+                    # Final; see ops/residuals.objective_chunked).
+                    pf = points.reshape(-1)
+                    df = dp.reshape(-1)
+                    pts_t = jnp.stack(
+                        [pf[c::3] + s * df[c::3] for c in range(3)], 0)
+                    return _objective(problem, cams + s * dc, None,
+                                      points_t=pts_t)
                 return _objective(problem, cams + s * dc, points + s * dp)
 
             # vmapping S trial scales materializes an (S, nobs, 9) camera
