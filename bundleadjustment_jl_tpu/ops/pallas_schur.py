@@ -176,6 +176,12 @@ def _parts(x, cls, exact=False):
     bf16-stored W upconverted or raw): ONE bf16 term, one native pass."""
     if exact:
         return (x.astype(jnp.bfloat16),)
+    if x.dtype != jnp.float32:
+        # f16-stored W reaches the split raw; Mosaic has no direct
+        # f16 -> bf16 cast (NotImplementedError on hardware — first
+        # seen on the round-4 f16 bench, /tmp/bench_r4a.log). Upconvert
+        # to f32 first; the 3-term split is then exact as usual.
+        x = x.astype(jnp.float32)
     return _split3(x) if cls in SPLIT3_CLASSES else (x,)
 
 

@@ -664,8 +664,37 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
     static["gather_mode"] = gatherfree.MODE
     static["sorted_mode"] = segsum.SORTED_MODE
     static["pallas_mode"] = pallas_schur.PALLAS_MODE
+    if (static["pallas_mode"] and static["facto_dtype"] == "float16"
+            and not pallas_schur.INTERPRET):
+        # Mosaic has no f16 dialect type on this hardware ("Unsupported
+        # type in mosaic dialect: 'f16'", round-4 f16 bench) — an
+        # f16-stored W cannot enter the fused kernels. Route f16 facto
+        # through the XLA path; bf16 is TPU's native half precision and
+        # the production choice (interpret-mode CPU tests still cover
+        # the f16 kernels' math).
+        static["pallas_mode"] = False
     static["cam_scatter"] = pallas_schur.CAM_SCATTER
     return cams, points, hp, static
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def _mode_ctx(static):
+    """Pin the trace-time Pallas globals to the STATIC decision.
+
+    ``_split_options`` may override ``pallas_mode`` (e.g. f16 facto on
+    hardware: Mosaic has no f16 dialect type), but the ops consult
+    ``pallas_schur.PALLAS_MODE`` directly during tracing — flip the
+    global for the duration of the (cached) trace and restore."""
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    old = pallas_schur.PALLAS_MODE
+    pallas_schur.PALLAS_MODE = static["pallas_mode"]
+    try:
+        yield
+    finally:
+        pallas_schur.PALLAS_MODE = old
 
 
 def levenberg_marquardt_jit(
@@ -701,10 +730,11 @@ def levenberg_marquardt_jit(
         good_ratio, lam_min, lam_strategy, pcg_rtol, pcg_max_iters,
         use_dense, use_cgls, use_power, linesearch, ls_max, facto_dtype,
         pcg_warm)
-    state = _lm_init(problem, cams, points, hp, **static)
-    if lam0 is not None:
-        state = dict(state, lam=jnp.asarray(lam0, cams.dtype))
-    st = _lm_run(problem, state, hp, **static)
+    with _mode_ctx(static):
+        state = _lm_init(problem, cams, points, hp, **static)
+        if lam0 is not None:
+            state = dict(state, lam=jnp.asarray(lam0, cams.dtype))
+        st = _lm_run(problem, state, hp, **static)
     return _finalize(st)
 
 
@@ -769,7 +799,8 @@ def levenberg_marquardt_jit_chunked(
                 points = jnp.asarray(restored["points"], points.dtype)
 
     t0 = time.perf_counter()
-    state = _lm_init(problem, cams, points, hp, **static)
+    with _mode_ctx(static):
+        state = _lm_init(problem, cams, points, hp, **static)
     if restored is not None:
         state = dict(
             state,
@@ -800,7 +831,8 @@ def levenberg_marquardt_jit_chunked(
             break
         state = dict(state, it_max=jnp.asarray(
             min(it + chunk_iters, max_iters), jnp.int32))
-        state = _lm_run(problem, state, hp, **static)
+        with _mode_ctx(static):
+            state = _lm_run(problem, state, hp, **static)
         nchunk += 1
         scal = jax.device_get({k: state[k] for k in
                                ("it", "status", "obj", "gnorm", "lam",
