@@ -400,7 +400,18 @@ def _assemble_kminor(problem: BAProblem, cams, points,
             # (/tmp/probe_trialfix3, round 4).
             perm = problem.cam_perm
             n_pad = perm.shape[0]
-            half = n_pad // 2
+            # Both half-slices must stay block-aligned for
+            # `linearize_w_only` (its grid is m // _block_cols(m)):
+            # round the split down to a 128 multiple (the _block_cols
+            # floor, so both slices resolve a dividing width) and fail
+            # loudly if the padding invariant ever changes (advisor,
+            # round 4 — a misaligned slice must not zero W columns).
+            half = (n_pad // 2) // 128 * 128
+            for m in (half, n_pad - half):
+                if m % pallas_linearize._block_cols(m):
+                    raise ValueError(
+                        f"relinearization slice {m} not a multiple of "
+                        f"its block width at n_pad={n_pad}")
             xy_t = problem.pt2d.T
             cams_t16 = cams.T
             points_t16 = points.T

@@ -222,6 +222,112 @@ def set_mode(on: bool) -> None:
     PALLAS_MODE = bool(on)
 
 
+# ---------------------------------------------------------------------------
+# Digit-factorized one-hot contractions (round 5).
+#
+# A flat one-hot scatter  out[s] += rows[r of segment s]  costs
+# ceil(nseg/128) * ceil(C/128) MXU passes with only d (=3/9) useful output
+# lanes out of 128 — at ncams=13682 that is 428 passes per chunk, the
+# measured 2.84 s/op camera reduce of abtest group D.  Splitting the id as
+# s = hi*L + lo turns it into (1) a VPU lane-masked expansion of the (d, C)
+# values to (L*d, C) — lane block lo holds the rows whose id has that low
+# digit — and (2) ONE narrow MXU dot against the (nhi, C) hi one-hot,
+# nhi = ceil(nseg/L).  The lane dim now carries L segments' worth of
+# output, so the pass count drops by ~min(L, 128/d) and the one-hot
+# build/VMEM shrink by L.  The table gather factorizes the same way in
+# reverse: one hi dot gathers the L-camera GROUP row per observation, a
+# lane-masked select picks the lo member.  Layout contract: hi-layout
+# arrays are (nhi, L*dq) with lane e = lo*dq + dd, so
+# `x.reshape(nhi*L, dq)` is the plain row form (pure XLA reshape, no
+# transpose).  Gather tables pad dq to FAC_DP so the in-kernel lo-select
+# slices at 8-aligned sublane offsets.
+# ---------------------------------------------------------------------------
+FACTOR = _os.environ.get("BA_FACTOR", "1") == "1"
+FAC_CAM_L = int(_os.environ.get("BA_FAC_CAM_L", 0))   # 0 = auto by ncams
+FAC_PNT_L = int(_os.environ.get("BA_FAC_PNT_L", 8))   # divides SEG_TILE
+FAC_DP = 16
+
+
+def fac_cam_L(ncams: int) -> int:
+    """lo-digit width for camera-indexed one-hots: balances the hi
+    one-hot build (ncams/L * C compares) against the lo-select
+    (L * FAC_DP * C lane ops); ~sqrt(ncams/FAC_DP), clamped to powers
+    of two in [8, 64]."""
+    if FAC_CAM_L:
+        return FAC_CAM_L
+    L = 8
+    while L < 64 and L * L * FAC_DP < ncams:
+        L *= 2
+    return L
+
+
+def fac_table(v: jnp.ndarray, L: int, dp: int = FAC_DP) -> jnp.ndarray:
+    """(nseg, d) value table -> (nhi, L*dp) hi-layout (rows d..dp zero)."""
+    nseg, d = v.shape
+    nhi = -(-nseg // L)
+    vp = jnp.pad(v, ((0, nhi * L - nseg), (0, dp - d)))
+    return vp.reshape(nhi, L * dp)
+
+
+def fac_rows(flat: jnp.ndarray, nhi: int, L: int, d: int) -> jnp.ndarray:
+    """Flat per-segment (nseg*d,) values -> (nhi, L*d) hi-layout blocks
+    (zero-padded to nhi*L rows); pure reshape, no transpose."""
+    pad = nhi * L * d - flat.shape[0]
+    if pad > 0:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(nhi, L * d)
+
+
+def fac_unscramble(out: jnp.ndarray, nseg: int, d: int, L: int):
+    """(nhi, L*dq) hi-layout sums -> (nseg, d) plain rows."""
+    nhi, Ldq = out.shape
+    return out.reshape(nhi * L, Ldq // L)[:nseg, :d]
+
+
+def _fac_scatter(ids, val, cls, nseg, L, d, dq=None, parts=None):
+    """In-kernel factorized scatter-reduce term: per-row values ``val``
+    (d, C) summed into hi-layout (nhi, L*dq) by ``ids`` (1, C); ids
+    outside [0, nseg) are dropped exactly (their hi or lo digit matches
+    nothing).  ``parts``: optional pre-split value tuple."""
+    dq = dq or d
+    C = ids.shape[1]
+    nhi = -(-nseg // L)
+    hi = ids // L
+    lo = ids - hi * L
+    oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (nhi, C), 0)
+             == hi).astype(jnp.float32)
+    lo_div = jax.lax.broadcasted_iota(jnp.int32, (L * dq, C), 0) // dq
+    if parts is None:
+        parts = _parts(val.astype(jnp.float32), cls)
+    bparts = []
+    for p in parts:
+        if dq != d:
+            p = jnp.pad(p, ((0, dq - d), (0, 0)))
+        B = pltpu.repeat(p, L, 0)                        # (L*dq, C)
+        bparts.append(jnp.where(lo_div == lo, B, jnp.zeros_like(B)))
+    return _dotp(oh_hi, tuple(bparts), ((1,), (1,)), "rhs")
+
+
+def _fac_gather(ids, parts, L, dp, nseg_hint=0):
+    """In-kernel factorized table gather: hi-layout table parts
+    (nhi, L*dp) -> (dp, C) per-row values ``table[ids]`` (rows beyond
+    the table's true d are zero).  One hi dot + L aligned lo-selects."""
+    del nseg_hint
+    C = ids.shape[1]
+    nhi = parts[0].shape[0]
+    hi = ids // L
+    lo = ids - hi * L
+    oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (nhi, C), 0)
+             == hi).astype(jnp.float32)
+    tmp = _dotp(parts, oh_hi, ((0,), (0,)), "lhs")       # (L*dp, C)
+    out = None
+    for lo_i in range(L):
+        piece = jnp.where(lo == lo_i, tmp[lo_i * dp:(lo_i + 1) * dp, :],
+                          0.0)
+        out = piece if out is None else out + piece
+    return out
+
+
 def _iota01(shape, row_fn, col_fn):
     """0/1 f32 matrix from a comparison of two iota-derived index maps."""
     r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -378,6 +484,120 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
     out_ref[:] = res.astype(out_ref.dtype)
 
 
+def _seg_reduce_fac_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
+                           table_ref, diag_ref, add_ref, out_ref,
+                           wt_s, xc_s, idx_s, acc_h, sems, *,
+                           C, P, d_x, d_out, Lc, Lp, fold_diag,
+                           has_add, out_k8, sign):
+    """Digit-factorized `_seg_reduce_kernel`: same refs/variants, but the
+    per-chunk segment reduction accumulates in hi-layout (nhi, Lp*dq)
+    (see :func:`_fac_scatter`), the optional camera-table gather is
+    factorized (``Lc`` > 0 -> ``table_ref`` is (nhic, Lc*FAC_DP)), the
+    Hpp fold runs IN hi-layout via 0/1 group-map dots, and a per-tile
+    epilogue converts back to the legacy output layout — callers see
+    identical shapes."""
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    seg_base = t * P
+    lo0 = (start // C) * C
+    nchunks = pl.cdiv(end - lo0, jnp.int32(C))
+    nhip = P // Lp
+    dq = 8 if d_out == 3 else d_out
+
+    acc_h[:] = jnp.zeros_like(acc_h)
+
+    gather_table = Lc > 0
+    dxe = FAC_DP if gather_table else xc_s.shape[1]
+    exp_m = (_iota01((K_PAD, dxe), lambda r: r // 3, lambda c: c)
+             if d_x == 9
+             else _iota01((K_PAD, dxe), lambda r: r % 3, lambda c: c))
+    red_m = (_iota01((d_out, K_PAD), lambda r: r, lambda c: c // 3)
+             if d_out == 9
+             else _iota01((d_out, K_PAD), lambda r: r, lambda c: c % 3))
+    tab_parts = (_parts(table_ref[:].astype(jnp.float32), "gather")
+                 if gather_table else None)
+
+    src = cam_ref if gather_table else xt_ref
+    copies = [
+        (lambda j: wt_ref.at[:, pl.ds(lo0 + j * C, C)], wt_s),
+        (lambda j: idx_ref.at[:, pl.ds(lo0 + j * C, C)], idx_s),
+        (lambda j: src.at[:, pl.ds(lo0 + j * C, C)], xc_s),
+    ]
+
+    @pl.when(nchunks > 0)
+    def _():
+        _dma_start(copies, 0, 0, sems)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, jnp.int32(2))
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            _dma_start(copies, j + 1, jax.lax.rem(j + 1, jnp.int32(2)), sems)
+
+        _dma_wait(copies, j, slot, sems)
+        wt_c = wt_s[slot]
+        if gather_table:
+            x_t = _fac_gather(xc_s[slot], tab_parts, Lc, FAC_DP)
+        else:
+            x_t = xc_s[slot].astype(jnp.float32)
+        x_rep = _doth(exp_m, x_t, ((1,), (0,)), "rhs", "expand")
+        prod = wt_c.astype(jnp.float32) * x_rep                # (K_PAD, C)
+        rows_t = _doth(red_m, prod, ((1,), (0,)), "rhs",
+                       "expand")                               # (d_out, C)
+        local = idx_s[slot] - seg_base
+        acc_h[:] += _fac_scatter(local, rows_t, "scatter", P, Lp, d_out,
+                                 dq=dq)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    # Epilogue in hi-layout.  Key encoding lo*5 + min(component, 3)
+    # marks (point-lo, vector-component); padded dq lanes never match.
+    def key8(r):
+        return (r // 8) * 5 + jnp.minimum(r % 8, 3)
+
+    res_h = acc_h[:]
+    if has_add:
+        G3_8 = _iota01((Lp * 3, Lp * 8),
+                       lambda r: (r // 3) * 5 + r % 3, key8)
+        res_h = res_h + _doth(add_ref[:].astype(jnp.float32), G3_8,
+                              ((1,), (0,)), "lhs", "expand")
+    if fold_diag:
+        R8_9 = _iota01((Lp * 8, Lp * 9), key8,
+                       lambda c: (c // 9) * 5 + (c % 9) % 3)
+        rep9 = _doth(res_h, R8_9, ((1,), (0,)), "lhs", "expand")
+        prodh = diag_ref[:].astype(jnp.float32) * rep9
+        T9_8 = _iota01((Lp * 9, Lp * 8),
+                       lambda r: (r // 9) * 5 + (r % 9) // 3, key8)
+        res_h = _doth(prodh, T9_8, ((1,), (0,)), "lhs", "expand")
+    res_h = sign * res_h
+
+    if out_k8:
+        # hi-layout -> (8, P) k-minor: one hi dot + Lp aligned selects.
+        ohT = _iota01((nhip, P), lambda r: r, lambda c: c // Lp)
+        D1 = _dotp(_parts(res_h, "gather"), ohT, ((0,), (0,)),
+                   "lhs")                                      # (Lp*8, P)
+        loP = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % Lp
+        dp3 = None
+        for lo_i in range(Lp):
+            piece = jnp.where(loP == lo_i,
+                              D1[lo_i * 8:(lo_i + 1) * 8, :], 0.0)
+            dp3 = piece if dp3 is None else dp3 + piece
+        out_ref[:] = dp3.astype(out_ref.dtype)
+    else:
+        # hi-layout -> (P, d_out): dot rows out by hi, lane-mask the
+        # matching lo block, fold lane groups with a 0/1 dq -> d_out map.
+        ohPT = _iota01((P, nhip), lambda r: r // Lp, lambda c: c)
+        D2 = _dotp(ohPT, _parts(res_h, "gather"), ((1,), (0,)),
+                   "rhs")                                      # (P, Lp*dq)
+        mask = _iota01((P, Lp * dq), lambda r: r % Lp, lambda c: c // dq)
+        F = _iota01((Lp * dq, d_out), lambda r: r % dq, lambda c: c)
+        out_ref[:] = _doth(D2 * mask, F, ((1,), (0,)), "lhs",
+                           "expand").astype(out_ref.dtype)
+
+
 def _chunk_rows(n_pad: int) -> int:
     C = min(CHUNK_ROWS, n_pad)
     while C > 128 and n_pad % C:
@@ -404,26 +624,50 @@ def _seg_block_reduce(W_t, idx_row, bounds, nseg, *, d_x, d_out,
     out_dtype = out_dtype or (table.dtype if gather_table else xt_obs.dtype)
     ntiles = bounds.shape[0] - 1
 
-    kern = functools.partial(
-        _seg_reduce_kernel, C=C, P=P, d_x=d_x, d_out=d_out,
-        gather_table=gather_table, fold_diag=fold_diag, has_add=has_add,
-        out_k8=out_k8, sign=sign)
+    fac = FACTOR
+    if fac and (fold_diag or has_add or out_k8):
+        assert d_out == 3, (d_out, fold_diag, has_add, out_k8)
+    Lp = FAC_PNT_L
+    nhip = P // Lp
+    dq = 8 if d_out == 3 else d_out
+    if fac:
+        Lc = fac_cam_L(table.shape[0]) if gather_table else 0
+        kern = functools.partial(
+            _seg_reduce_fac_kernel, C=C, P=P, d_x=d_x, d_out=d_out,
+            Lc=Lc, Lp=Lp, fold_diag=fold_diag, has_add=has_add,
+            out_k8=out_k8, sign=sign)
+    else:
+        kern = functools.partial(
+            _seg_reduce_kernel, C=C, P=P, d_x=d_x, d_out=d_out,
+            gather_table=gather_table, fold_diag=fold_diag,
+            has_add=has_add, out_k8=out_k8, sign=sign)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec, any_spec]               # idx_row, W_t
     args = [idx_row.reshape(1, n_pad).astype(jnp.int32), W_t]
     if gather_table:
         in_specs += [any_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        args += [cam_row.reshape(1, n_pad).astype(jnp.int32), table]
+        args += [cam_row.reshape(1, n_pad).astype(jnp.int32),
+                 fac_table(table, Lc) if fac else table]
     else:
         in_specs += [any_spec]
         args += [xt_obs]
     if fold_diag:
-        in_specs.append(pl.BlockSpec((P, 9), lambda t, b: (t, 0)))
-        args.append(diag.reshape(nseg, 9))
+        if fac:
+            in_specs.append(pl.BlockSpec((nhip, Lp * 9),
+                                         lambda t, b: (t, 0)))
+            args.append(fac_rows(diag.reshape(-1), ntiles * nhip, Lp, 9))
+        else:
+            in_specs.append(pl.BlockSpec((P, 9), lambda t, b: (t, 0)))
+            args.append(diag.reshape(nseg, 9))
     if has_add:
-        in_specs.append(pl.BlockSpec((P, 3), lambda t, b: (t, 0)))
-        args.append(add.reshape(nseg, 3))
+        if fac:
+            in_specs.append(pl.BlockSpec((nhip, Lp * 3),
+                                         lambda t, b: (t, 0)))
+            args.append(fac_rows(add.reshape(-1), ntiles * nhip, Lp, 3))
+        else:
+            in_specs.append(pl.BlockSpec((P, 3), lambda t, b: (t, 0)))
+            args.append(add.reshape(nseg, 3))
 
     def kernel(bounds_ref, *refs):
         it = iter(refs)
@@ -449,6 +693,8 @@ def _seg_block_reduce(W_t, idx_row, bounds, nseg, *, d_x, d_out,
         out_spec = pl.BlockSpec((P, d_out), lambda t, b: (t, 0))
         out_shape = jax.ShapeDtypeStruct((nseg, d_out), out_dtype)
         acc_shape = (P, d_out)
+    if fac:
+        acc_shape = (nhip, Lp * dq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -603,9 +849,21 @@ def gather_k_minor(t16: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # measured the dominant per-iteration cost in scripts/tpu_profile.py).
 # ---------------------------------------------------------------------------
 
+def _fac_scatter_L(nseg: int, d: int) -> int:
+    """lo-digit width for a persistent factorized scatter accumulator:
+    balances the hi one-hot build (nseg/L * C) against the value
+    expansion (L * d * C); 0 disables (flat one-hot)."""
+    if not FACTOR:
+        return 0
+    L = 1
+    while L < 32 and L * L * d < nseg:
+        L *= 2
+    return 0 if L == 1 else L
+
+
 def _prod_reduce_kernel(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
                         x1_s, x2_s, idx_s, acc, sems, *,
-                        C, P, r1, n1, prod):
+                        C, P, r1, n1, prod, Lp=0):
     """One segment tile of ``out[s] += prod(x1, x2) rows of segment s``.
 
     ``prod(x1_f32 (n1, C), x2_f32 | None) -> (d_out, C)`` is a static
@@ -645,14 +903,29 @@ def _prod_reduce_kernel(bounds_ref, idx_ref, x1_ref, x2_ref, out_ref,
         x2 = x2_s[slot].astype(jnp.float32) if x2_ref is not None else None
         rows_t = prod(x1, x2)                                  # (d_out, C)
         local = idx_s[slot] - seg_base
-        oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
-                  == local).astype(jnp.float32)                # (P, C)
-        acc[:] += _doth(oh_seg, rows_t, ((1,), (1,)),
-                        "rhs")                                 # (P, d_out)
+        if Lp:
+            acc[:] += _fac_scatter(local, rows_t, "scatter", P, Lp,
+                                   rows_t.shape[0])
+        else:
+            oh_seg = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                      == local).astype(jnp.float32)            # (P, C)
+            acc[:] += _doth(oh_seg, rows_t, ((1,), (1,)),
+                            "rhs")                             # (P, d_out)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[:] = acc[:].astype(out_ref.dtype)
+    if Lp:
+        # hi-layout accumulator -> the legacy (P, d_out) tile output.
+        nhip, Ld = acc.shape
+        dq = Ld // Lp
+        ohPT = _iota01((P, nhip), lambda r: r // Lp, lambda c: c)
+        D2 = _dotp(ohPT, _parts(acc[:], "gather"), ((1,), (0,)), "rhs")
+        mask = _iota01((P, Ld), lambda r: r % Lp, lambda c: c // dq)
+        F = _iota01((Ld, dq), lambda r: r % dq, lambda c: c)
+        out_ref[:] = _doth(D2 * mask, F, ((1,), (0,)), "lhs",
+                           "expand").astype(out_ref.dtype)
+    else:
+        out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
 def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
@@ -668,8 +941,14 @@ def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
     ntiles = bounds.shape[0] - 1
     has_x2 = x2_t is not None
 
+    # Factorized segment accumulate pays off while L*d_out fits one
+    # lane tile (wide d_out = 81/90 already fills the lanes).
+    Lp = 0
+    if FACTOR and d_out <= 16:
+        Lp = min(FAC_PNT_L, 1 << (128 // d_out).bit_length() - 1)
+        Lp = Lp if P % Lp == 0 else 0
     kern = functools.partial(_prod_reduce_kernel, C=C, P=P, r1=r1, n1=n1,
-                             prod=prod)
+                             prod=prod, Lp=Lp)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec, any_spec] + ([any_spec] if has_x2 else [])
     args = [idx_row.reshape(1, n_pad).astype(jnp.int32), x1_t] + (
@@ -689,8 +968,9 @@ def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
     scratch = [pltpu.VMEM((2, n1, C), x1_t.dtype)]
     if has_x2:
         scratch.append(pltpu.VMEM((2, x2_t.shape[0], C), x2_t.dtype))
+    acc_shape = (P // Lp, Lp * d_out) if Lp else (P, d_out)
     scratch += [pltpu.VMEM((2, 1, C), jnp.int32),
-                pltpu.VMEM((P, d_out), jnp.float32),
+                pltpu.VMEM(acc_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 3))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -725,7 +1005,7 @@ def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
 
 def _cam_scatter_kernel(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref,
                         out_ref, x1_s, cam_s, idx_s, sems, *,
-                        C, P, r1, n1, d_out, prod, has_op):
+                        C, P, r1, n1, d_out, prod, has_op, Lca=0):
     t = pl.program_id(0)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
@@ -774,10 +1054,14 @@ def _cam_scatter_kernel(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref,
             rows_t = prod(x1, op_ex)                        # (d_out, C)
         else:
             rows_t = prod(x1, None)
-        oh_cam = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
-                  == camm).astype(jnp.float32)              # (ncams, C)
-        out_ref[:] += _doth(oh_cam, rows_t, ((1,), (1,)),
-                            "rhs")                          # (ncams, d_out)
+        if Lca:
+            out_ref[:] += _fac_scatter(camm, rows_t, "scatter",
+                                       ncams * Lca, Lca, rows_t.shape[0])
+        else:
+            oh_cam = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                      == camm).astype(jnp.float32)          # (ncams, C)
+            out_ref[:] += _doth(oh_cam, rows_t, ((1,), (1,)),
+                                "rhs")                      # (ncams, d_out)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -807,8 +1091,11 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
         if wpad > 0:
             op_t = jnp.pad(op_t, ((0, 0), (0, wpad)))
 
+    Lca = _fac_scatter_L(ncams, d_out)
+    nhic = -(-ncams // Lca) if Lca else ncams
     kern = functools.partial(_cam_scatter_kernel, C=C, P=P, r1=r1, n1=n1,
-                             d_out=d_out, prod=prod, has_op=has_op)
+                             d_out=d_out, prod=prod, has_op=has_op,
+                             Lca=Lca)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec, any_spec]
     args = [cam_row.reshape(1, n_pad).astype(jnp.int32), x1_t]
@@ -827,11 +1114,13 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
         kern(bounds_ref, cam_ref, x1_ref, idx_ref, op_ref, out_ref,
              x1_s, cam_s, idx_s, sems)
 
+    out_rows, out_cols = ((nhic, Lca * d_out) if Lca
+                          else (ncams, d_out))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((ncams, d_out), lambda t, b: (0, 0)),
+        out_specs=pl.BlockSpec((out_rows, out_cols), lambda t, b: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, n1, C), x1_t.dtype),
             pltpu.VMEM((2, 1, C), jnp.int32),
@@ -839,20 +1128,24 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
-    # The (ncams, d_out) output block + accumulator live in VMEM; past
-    # ~8k cameras they exceed Mosaic's 16 MB default scoped-vmem limit
-    # (Final-13682 d_out=9: 19.98 MB measured, probe_final_compile10).
-    # v5e has 128 MB VMEM/core — raise the cap for the big-camera case.
+    # The output block + accumulator + one-hots live in VMEM; with the
+    # flat one-hot past ~8k cameras they exceed Mosaic's 16 MB default
+    # scoped-vmem limit (Final-13682 d_out=9: 19.98 MB measured,
+    # probe_final_compile10; d_out=90 fused assembly: 48.27 MB, round-4
+    # abtest group C).  The factorized layout shrinks all three by ~Lca,
+    # but keep the raised cap for the big-camera case regardless (v5e
+    # has 128 MB VMEM/core).
     params = None
     if ncams * 128 * 4 * 2 > 12 * 2**20:
         params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ncams, d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_cols), jnp.float32),
         compiler_params=params,
         interpret=interpret,
     )(bounds, *args)
+    return fac_unscramble(out, ncams, d_out, Lca) if Lca else out
 
 
 # Fused single-stream matvec (camera-scatter mode): VMEM cache slots for
@@ -1009,6 +1302,210 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
         jax.lax.fori_loop(MAXCH, nchunks, body_b2, 0)
 
 
+def _mv_scatter_fac_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
+                           hpp_ref, gp_ref, out_ref, dp_ref, w_s, pnt_s,
+                           cam_s, acc_h, sems, *, C, P, sign, Lc, Lp):
+    """Digit-factorized `_mv_scatter_kernel` (see the section comment at
+    :func:`_fac_scatter`): the camera table gather, the per-point
+    reduce, the point-operand gather and the camera scatter all run as
+    narrow hi-digit MXU dots + lane-masked lo selections.  The per-point
+    state lives in hi-layout (nhip, Lp*8) (lane e = lo*8 + b, b<3
+    valid); the Hpp_inv fold happens IN that layout via three 0/1
+    group-map dots (keys encode (lo, component)); the (8, P) k-minor dp
+    output and the per-row operand gather convert out of it with one
+    shared hi dot per tile."""
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    seg_base = t * P
+    lo0 = (start // C) * C
+    nchunks = pl.cdiv(end - lo0, jnp.int32(C))
+    MAXCH = w_s.shape[0] - 2
+    nhip = P // Lp
+    ncams_pad = out_ref.shape[0] * Lc
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def slot(j):
+        j = jnp.asarray(j, jnp.int32)
+        return jnp.where(j < MAXCH, j, MAXCH + jax.lax.rem(j, jnp.int32(2)))
+
+    def dma(j, s):
+        pltpu.make_async_copy(wt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              w_s.at[s], sems.at[s, 0]).start()
+        pltpu.make_async_copy(pnt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              pnt_s.at[s], sems.at[s, 1]).start()
+        pltpu.make_async_copy(cam_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              cam_s.at[s], sems.at[s, 2]).start()
+
+    def dma_wait(j, s):
+        pltpu.make_async_copy(wt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              w_s.at[s], sems.at[s, 0]).wait()
+        pltpu.make_async_copy(pnt_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              pnt_s.at[s], sems.at[s, 1]).wait()
+        pltpu.make_async_copy(cam_ref.at[:, pl.ds(lo0 + j * C, C)],
+                              cam_s.at[s], sems.at[s, 2]).wait()
+
+    acc_h[:] = jnp.zeros_like(acc_h)
+
+    # W row 3a+b picks v component a; the gathered operand arrives
+    # FAC_DP-row padded, extra columns match no W row.
+    exp9 = _iota01((K_PAD, FAC_DP), lambda r: r // 3, lambda c: c)
+    red3 = _iota01((3, K_PAD), lambda r: r, lambda c: c % 3)
+    tab_parts = _parts(table_ref[:].astype(jnp.float32), "gather")
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, slot(0))
+
+    def body_a(j, _):
+        s = slot(j)
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            dma(j + 1, slot(j + 1))
+
+        dma_wait(j, s)
+        wt_c = w_s[s].astype(jnp.float32)
+        x_t = _fac_gather(cam_s[s], tab_parts, Lc, FAC_DP)     # (16, C)
+        prod = wt_c * _doth(exp9, x_t, ((1,), (0,)), "rhs",
+                            "expand")                          # (K_PAD, C)
+        rows3 = _doth(red3, prod, ((1,), (0,)), "rhs",
+                      "expand")                                # (3, C)
+        local = pnt_s[s] - seg_base
+        acc_h[:] += _fac_scatter(local, rows3, "scatter", P, Lp, 3, dq=8)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body_a, 0)
+
+    # Fold  t = sign * Hpp_inv @ (t + g_p)  in hi-layout.  Key encoding
+    # (lo*5 + b) marks each lane's (point-lo, vector-component); the
+    # padded b>=3 lanes get key lo*5+3, which no valid lane produces.
+    def key8(r):
+        return (r // 8) * 5 + jnp.minimum(r % 8, 3)
+
+    G3_8 = _iota01((Lp * 3, Lp * 8), lambda r: (r // 3) * 5 + r % 3, key8)
+    gp8 = _doth(gp_ref[:].astype(jnp.float32), G3_8, ((1,), (0,)),
+                "lhs", "expand")                               # (nhip, Lp*8)
+    t3 = acc_h[:] + gp8
+    R8_9 = _iota01((Lp * 8, Lp * 9), key8,
+                   lambda c: (c // 9) * 5 + (c % 9) % 3)
+    rep9 = _doth(t3, R8_9, ((1,), (0,)), "lhs", "expand")      # (nhip, Lp*9)
+    prodh = hpp_ref[:].astype(jnp.float32) * rep9
+    T9_8 = _iota01((Lp * 9, Lp * 8),
+                   lambda r: (r // 9) * 5 + (r % 9) // 3, key8)
+    t_h = sign * _doth(prodh, T9_8, ((1,), (0,)), "lhs",
+                       "expand")                               # (nhip, Lp*8)
+    t_parts = _parts(t_h, "gather")
+
+    # per-tile dp output: hi-layout -> (8, P) k-minor via one hi dot
+    # (shared split with loop B's operand gathers) + Lp aligned selects.
+    ohT = _iota01((nhip, P), lambda r: r, lambda c: c // Lp)
+    D1 = _dotp(t_parts, ohT, ((0,), (0,)), "lhs")              # (Lp*8, P)
+    loP = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % Lp
+    dp3 = None
+    for lo_i in range(Lp):
+        piece = jnp.where(loP == lo_i, D1[lo_i * 8:(lo_i + 1) * 8, :], 0.0)
+        dp3 = piece if dp3 is None else dp3 + piece
+    dp_ref[:] = dp3.astype(dp_ref.dtype)
+
+    def apply_chunk(j, wt_c, pnt_c, cam_c):
+        rowid = (lo0 + j * C
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1))
+        valid = (rowid >= start) & (rowid < end)
+        camm = jnp.where(valid, cam_c, -1)
+        local = pnt_c - seg_base
+        op_ex = _fac_gather(local, t_parts, Lp, 8)             # (8, C)
+        rows9 = _prod_w_op(wt_c, op_ex)                        # (9, C)
+        out_ref[:] += _fac_scatter(camm, rows9, "scatter", ncams_pad,
+                                   Lc, 9)
+
+    ncached = jnp.minimum(nchunks, jnp.int32(MAXCH))
+
+    def body_b1(j, _):
+        apply_chunk(j, w_s[j], pnt_s[j], cam_s[j])
+        return 0
+
+    jax.lax.fori_loop(0, ncached, body_b1, 0)
+
+    @pl.when(nchunks > MAXCH)
+    def _():
+        dma(MAXCH, slot(MAXCH))
+
+        def body_b2(j, _):
+            s = slot(j)
+
+            @pl.when(j + 1 < nchunks)
+            def _():
+                dma(j + 1, slot(j + 1))
+
+            dma_wait(j, s)
+            apply_chunk(j, w_s[s], pnt_s[s], cam_s[s])
+            return 0
+
+        jax.lax.fori_loop(MAXCH, nchunks, body_b2, 0)
+
+
+def _matvec_cam_scatter_fac(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
+                            ncams, npnts, *, gp_f, sign, with_dp,
+                            interpret):
+    n_pad = W_t.shape[1]
+    C = _chunk_rows(n_pad)
+    P = SEG_TILE
+    ntiles = bounds.shape[0] - 1
+    Lc = fac_cam_L(ncams)
+    Lp = FAC_PNT_L
+    assert P % Lp == 0, (P, Lp)
+    nhip = P // Lp
+    nhic = -(-ncams // Lc)
+    nhi_tot = ntiles * nhip
+    table2 = fac_table(v.astype(jnp.float32), Lc)
+    hpp_h = fac_rows(hpp_inv_f.reshape(-1).astype(jnp.float32),
+                     nhi_tot, Lp, 9)
+    gp_h = (fac_rows(gp_f.reshape(-1).astype(jnp.float32),
+                     nhi_tot, Lp, 3)
+            if gp_f is not None else jnp.zeros((nhi_tot, Lp * 3),
+                                               jnp.float32))
+
+    kern = functools.partial(_mv_scatter_fac_kernel, C=C, P=P,
+                             sign=float(sign), Lc=Lc, Lp=Lp)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[any_spec, any_spec, any_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nhip, Lp * 9), lambda t, b: (t, 0)),
+                  pl.BlockSpec((nhip, Lp * 3), lambda t, b: (t, 0))],
+        out_specs=[pl.BlockSpec((nhic, Lc * 9), lambda t, b: (0, 0)),
+                   pl.BlockSpec((8, P), lambda t, b: (0, t))],
+        scratch_shapes=[
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, K_PAD, C), W_t.dtype),
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, 1, C), jnp.int32),
+            pltpu.VMEM((MV_CACHE_CHUNKS + 2, 1, C), jnp.int32),
+            pltpu.VMEM((nhip, Lp * 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((MV_CACHE_CHUNKS + 2, 3)),
+        ],
+    )
+    params = None
+    if nhic * (C + 128) * 4 > 12 * 2**20:
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    out, dp8 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nhic, Lc * 9), jnp.float32),
+                   jax.ShapeDtypeStruct((8, ntiles * P), jnp.float32)],
+        compiler_params=params,
+        interpret=interpret,
+    )(bounds, cam_row.reshape(1, n_pad).astype(jnp.int32),
+      pnt_row.reshape(1, n_pad).astype(jnp.int32), W_t, table2,
+      hpp_h, gp_h)
+    out = fac_unscramble(out, ncams, 9, Lc)
+    return (out, dp8) if with_dp else out
+
+
 def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
                        ncams, npnts, *, gp_f=None, sign=1.0,
                        with_dp=False, interpret=None):
@@ -1022,6 +1519,10 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
     table (ncams <= GATHER_TABLE_MAX_CAMS is the caller's gate)."""
     if interpret is None:
         interpret = INTERPRET
+    if FACTOR:
+        return _matvec_cam_scatter_fac(
+            W_t, v, cam_row, pnt_row, hpp_inv_f, bounds, ncams, npnts,
+            gp_f=gp_f, sign=sign, with_dp=with_dp, interpret=interpret)
     n_pad = W_t.shape[1]
     C = _chunk_rows(n_pad)
     P = SEG_TILE

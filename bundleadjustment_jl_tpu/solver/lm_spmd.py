@@ -46,7 +46,23 @@ from bundleadjustment_jl_tpu.parallel.spmd import (
     SPMD_AXIS, ShardStack, SpmdProblem)
 from bundleadjustment_jl_tpu.solver.lm_jit import (
     LMJitResult, MAX_ITER, MAX_TIME, RUNNING, STATUS_NAMES, _lm_init_impl,
-    _lm_run_impl, _resolve_hp)
+    _lm_run_impl, _mode_ctx, _resolve_hp)
+
+
+def _spmd_pallas_mode(facto_dtype) -> bool:
+    """Resolved Pallas mode for the spmd drivers: mirrors
+    `lm_jit._split_options`'s f16-facto-on-hardware downgrade (Mosaic
+    has no f16 dialect type; an f16-stored W cannot enter the fused
+    kernels — advisor, round 4: without this the spmd drivers hit the
+    Mosaic error at trace time on a real TPU mesh)."""
+    from bundleadjustment_jl_tpu.ops import pallas_schur
+    mode = pallas_schur.PALLAS_MODE
+    if (mode and facto_dtype is not None
+            and jnp.dtype(facto_dtype) == jnp.float16
+            and not pallas_schur.INTERPRET):
+        return False
+    return mode
+
 
 _CACHE: dict = {}
 
@@ -71,10 +87,11 @@ def _local_solve(arrs: ShardStack, hp, lam0, *, statics, has_lam0):
         pnt_starts=arrs.pnt_starts.reshape(-1),
         cam_perm=arrs.cam_perm.reshape(M),
         cam_starts=arrs.cam_starts.reshape(-1))
-    state = _lm_init_impl(lp, lp.cams, lp.points, hp, **statics)
-    if has_lam0:
-        state = dict(state, lam=lam0.astype(state["lam"].dtype))
-    st = _lm_run_impl(lp, state, hp, **statics)
+    with _mode_ctx(statics):
+        state = _lm_init_impl(lp, lp.cams, lp.points, hp, **statics)
+        if has_lam0:
+            state = dict(state, lam=lam0.astype(state["lam"].dtype))
+        st = _lm_run_impl(lp, state, hp, **statics)
     return dict(
         cams=st["cams"].reshape(-1, 9),
         points=st["points"].reshape(1, PL, 3),
@@ -134,14 +151,16 @@ def _get_chunked_fns(mesh, statics, has_lam0):
 
     def init_body(arrs, hp, lam0):
         lp = _local_problem(arrs)
-        state = _lm_init_impl(lp, lp.cams, lp.points, hp, **statics)
+        with _mode_ctx(statics):
+            state = _lm_init_impl(lp, lp.cams, lp.points, hp, **statics)
         if has_lam0:
             state = dict(state, lam=lam0.astype(state["lam"].dtype))
         return state
 
     def seg_body(arrs, state, hp):
         lp = _local_problem(arrs)
-        return _lm_run_impl(lp, state, hp, **statics)
+        with _mode_ctx(statics):
+            return _lm_run_impl(lp, state, hp, **statics)
 
     init_fn = jax.jit(shard_map(
         init_body, mesh=mesh, in_specs=(in_arr_specs, rep, rep),
@@ -228,12 +247,14 @@ def levenberg_marquardt_spmd(
                    pcg_warm=pcg_warm,
                    gather_mode=gatherfree.MODE,
                    sorted_mode=segsum.SORTED_MODE,
-                   pallas_mode=pallas_schur.PALLAS_MODE,
+                   pallas_mode=_spmd_pallas_mode(facto_dtype),
                    # resolved for THIS problem: drives the chunked
                    # driver's W_cam_t spec and keys the jit cache
                    cam_scatter=(pallas_schur.CAM_SCATTER
                                 and sp.ncams
-                                <= pallas_schur.CAM_SCATTER_MAX_CAMS))
+                                <= pallas_schur.CAM_SCATTER_MAX_CAMS),
+                   fac=(pallas_schur.FACTOR, pallas_schur.FAC_CAM_L,
+                        pallas_schur.FAC_PNT_L))
     has_lam0 = lam0 is not None
     lam0_val = jnp.asarray(0.0 if lam0 is None else lam0, dtype)
     fn = _get_fn(mesh, statics, has_lam0)
@@ -297,12 +318,14 @@ def levenberg_marquardt_spmd_chunked(
                    pcg_warm=pcg_warm,
                    gather_mode=gatherfree.MODE,
                    sorted_mode=segsum.SORTED_MODE,
-                   pallas_mode=pallas_schur.PALLAS_MODE,
+                   pallas_mode=_spmd_pallas_mode(facto_dtype),
                    # resolved for THIS problem: drives the chunked
                    # driver's W_cam_t spec and keys the jit cache
                    cam_scatter=(pallas_schur.CAM_SCATTER
                                 and sp.ncams
-                                <= pallas_schur.CAM_SCATTER_MAX_CAMS))
+                                <= pallas_schur.CAM_SCATTER_MAX_CAMS),
+                   fac=(pallas_schur.FACTOR, pallas_schur.FAC_CAM_L,
+                        pallas_schur.FAC_PNT_L))
     arrs = sp.arrays
 
     ckpt_mgr = None
