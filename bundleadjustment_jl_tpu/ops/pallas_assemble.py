@@ -46,7 +46,16 @@ from jax.experimental.pallas import tpu as pltpu
 from bundleadjustment_jl_tpu.ops.pallas_linearize import (
     linearize_chain, project_chain)
 from bundleadjustment_jl_tpu.ops.pallas_schur import (
-    INTERPRET, K_PAD, SEG_TILE, _chunk_rows, _doth)
+    FAC_DP, FAC_PNT_L, INTERPRET, K_PAD, SEG_TILE, _chunk_rows, _doth,
+    _dotp, _fac_gather, _fac_scatter, _fac_scatter_L, _iota01, _parts,
+    fac_cam_L, fac_rows, fac_table, fac_unscramble)
+import bundleadjustment_jl_tpu.ops.pallas_schur as pallas_schur
+
+# lo-digit width of the hi-layout point window (point coords stored
+# (width/L, L*3), a pure reshape of the flat coords; window row offsets
+# stay 8-aligned because halo offsets are 128-multiples and 128/L*? —
+# L=16 gives H/L row windows at 8-multiple offsets).
+FAC_H_L = 16
 
 
 def pack_pw(problem) -> jnp.ndarray:
@@ -66,7 +75,7 @@ def pack_pw(problem) -> jnp.ndarray:
 def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
                      w_out, outp_ref, outc_ref, obj_ref,
                      pw_s, pts_s, wbuf, acc_p, sems, wsems, psem, *,
-                     C, P, H):
+                     C, P, H, fac=None):
     """One point tile.  H = points-window size (P + 2C, C-halo).
 
     Refs: bounds (ntiles+1,) SMEM; pw (8, n) ANY; pts (8, width) ANY
@@ -84,7 +93,10 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
     lo0 = (start // C) * C
     nchunks = pl.cdiv(end - lo0, jnp.int32(C))
     ncams = outc_ref.shape[0]
-    width = pts_ref.shape[1]
+    if fac:
+        width_rows = pts_ref.shape[0]
+    else:
+        width = pts_ref.shape[1]
 
     @pl.when(t == 0)
     def _():
@@ -101,9 +113,19 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
     # proof can't see through the clip — assert it with pl.multiple_of
     # (interpret mode has no such constraint, so CPU tests don't need it,
     # but the hardware compile fails without it).
-    halo_lo = pl.multiple_of(jnp.clip(seg_base - C, 0, width - H), 128)
-    pts_copy = pltpu.make_async_copy(
-        pts_ref.at[:, pl.ds(halo_lo, H)], pts_s, psem)
+    if fac:
+        Lc, Lca, Lh, Lp = fac
+        width = width_rows * Lh          # point capacity of the window
+        halo_lo = pl.multiple_of(jnp.clip(seg_base - C, 0, width - H),
+                                 128)
+        row0 = pl.multiple_of(halo_lo // Lh, 8)
+        pts_copy = pltpu.make_async_copy(
+            pts_ref.at[pl.ds(row0, H // Lh), :], pts_s, psem)
+    else:
+        halo_lo = pl.multiple_of(jnp.clip(seg_base - C, 0, width - H),
+                                 128)
+        pts_copy = pltpu.make_async_copy(
+            pts_ref.at[:, pl.ds(halo_lo, H)], pts_s, psem)
     pts_copy.start()
 
     def rd(j, s):
@@ -115,7 +137,14 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
         rd(0, 0).start()
 
     pts_copy.wait()
-    pts = pts_s[:].astype(jnp.float32)                       # (8, H)
+    pts = pts_s[:].astype(jnp.float32)       # (8, H) | (H/Lh, Lh*3)
+    if fac:
+        LW = pts.shape[1]                # Lh*3 lane-padded to 128
+        pts_parts = _parts(pts, "gather")
+        cam_parts = _parts(cams_ref[:].astype(jnp.float32), "gather")
+        # fold masked (LW, C) window rows to (3, C) coords (padded
+        # lanes carry zero coords; their lo never matches anyway)
+        fold3 = _iota01((3, LW), lambda r: r, lambda c: c % 3)
 
     def body(j, _):
         s = jax.lax.rem(jnp.asarray(j, jnp.int32), jnp.int32(2))
@@ -132,17 +161,34 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
         pid = x[3:4].astype(jnp.int32)
         cid = x[4:5].astype(jnp.int32)
 
-        # camera params (9, C) from the VMEM table
-        oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
-                == cid).astype(jnp.float32)
-        cpar = _doth(cams_ref[:], oh_v, ((0,), (0,)),
-                     "lhs", "gather")                        # (9, C)
-        # point coords (3, C) from the haloed window
-        lh = pid - halo_lo
-        oh_h = (jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
-                == lh).astype(jnp.float32)
-        X3 = _doth(pts, oh_h, ((1,), (0,)),
-                   "lhs", "gather")                          # (8, C)
+        if fac:
+            # camera params from the hi-layout table; point coords from
+            # the hi-layout window: one hi dot + lane-mask + 0/1 fold.
+            cpar = _fac_gather(cid, cam_parts, Lc, FAC_DP)   # (16, C)
+            hi_rel = pid // Lh - row0
+            lo_p = pid - (pid // Lh) * Lh
+            nwin = H // Lh
+            oh_h = (jax.lax.broadcasted_iota(jnp.int32, (nwin, C), 0)
+                    == hi_rel).astype(jnp.float32)
+            tmp = _dotp(pts_parts, oh_h, ((0,), (0,)),
+                        "lhs")                               # (LW, C)
+            lo_div = jax.lax.broadcasted_iota(
+                jnp.int32, (LW, C), 0) // 3
+            masked = jnp.where(lo_div == lo_p, tmp, 0.0)
+            X3 = _doth(fold3, masked, ((1,), (0,)), "rhs",
+                       "expand")                             # (3, C)
+        else:
+            # camera params (9, C) from the VMEM table
+            oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                    == cid).astype(jnp.float32)
+            cpar = _doth(cams_ref[:], oh_v, ((0,), (0,)),
+                         "lhs", "gather")                    # (9, C)
+            # point coords (3, C) from the haloed window
+            lh = pid - halo_lo
+            oh_h = (jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
+                    == lh).astype(jnp.float32)
+            X3 = _doth(pts, oh_h, ((1,), (0,)),
+                       "lhs", "gather")                      # (8, C)
 
         Jc, Jp, res = linearize_chain(
             [cpar[a:a + 1] for a in range(3)],
@@ -174,22 +220,30 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
                   for b in range(3) for e in range(3)]
         rows12 += [Jp[0][b] * res[0] + Jp[1][b] * res[1] for b in range(3)]
         local = pid - seg_base
-        oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
-                == local).astype(jnp.float32)
-        acc_p[:] += _doth(
-            oh_p, jnp.concatenate(rows12, axis=0),
-            ((1,), (1,)), "rhs", "scatter")                  # (P, 12)
+        if fac:
+            acc_p[:] += _fac_scatter(local, jnp.concatenate(rows12, 0),
+                                     "scatter", P, Lp, 12)
+        else:
+            oh_p = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+                    == local).astype(jnp.float32)
+            acc_p[:] += _doth(
+                oh_p, jnp.concatenate(rows12, axis=0),
+                ((1,), (1,)), "rhs", "scatter")              # (P, 12)
 
         # [Hcc | g_c] (90, C) -> persistent camera scatter (masked ids).
         rows90 = [Jc[a] * Jc[d] + Jc[9 + a] * Jc[9 + d]
                   for a in range(9) for d in range(9)]
         rows90 += [Jc[a] * res[0] + Jc[9 + a] * res[1] for a in range(9)]
         camm = jnp.where(vm, cid, -1)
-        oh_c = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
-                == camm).astype(jnp.float32)
-        outc_ref[:] += _doth(
-            oh_c, jnp.concatenate(rows90, axis=0),
-            ((1,), (1,)), "rhs", "scatter")                  # (ncams, 90)
+        if fac:
+            outc_ref[:] += _fac_scatter(camm, jnp.concatenate(rows90, 0),
+                                        "scatter", ncams * Lca, Lca, 90)
+        else:
+            oh_c = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
+                    == camm).astype(jnp.float32)
+            outc_ref[:] += _doth(
+                oh_c, jnp.concatenate(rows90, axis=0),
+                ((1,), (1,)), "rhs", "scatter")              # (ncams, 90)
 
         # objective (weighted residuals; masked to this tile's rows)
         vmf = vm.astype(jnp.float32)
@@ -215,7 +269,16 @@ def _assemble_kernel(bounds_ref, pw_ref, pts_ref, cams_ref,
     def _():
         drain(1)
 
-    outp_ref[:] = acc_p[:]
+    if fac:
+        # hi-layout point accumulator -> the (P, 12) tile output
+        nhip = P // Lp
+        ohPT = _iota01((P, nhip), lambda r: r // Lp, lambda c: c)
+        D2 = _dotp(ohPT, _parts(acc_p[:], "gather"), ((1,), (0,)), "rhs")
+        mask = _iota01((P, Lp * 12), lambda r: r % Lp, lambda c: c // 12)
+        F = _iota01((Lp * 12, 12), lambda r: r % 12, lambda c: c)
+        outp_ref[:] = _doth(D2 * mask, F, ((1,), (0,)), "lhs", "expand")
+    else:
+        outp_ref[:] = acc_p[:]
 
 
 def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
@@ -229,17 +292,33 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
     `tile_bounds(pnt_starts, npnts)`.
     """
     if interpret is None:
-        from bundleadjustment_jl_tpu.ops import pallas_schur
         interpret = pallas_schur.INTERPRET
     n_pad = pw.shape[1]
     C = _chunk_rows(n_pad)
     P = SEG_TILE
     H = P + 2 * C
     ntiles = bounds.shape[0] - 1
-    assert pts16.shape[1] >= ntiles * P + 2 * C, (
-        f"points width {pts16.shape[1]} < {ntiles * P + 2 * C}")
+    fac = None
+    ncams_t = cams.shape[0]
+    if pallas_schur.FACTOR:
+        Lc, Lh, Lp = fac_cam_L(ncams_t), FAC_H_L, 8
+        Lca = max(_fac_scatter_L(ncams_t, 90), 2)
+        fac = (Lc, Lca, Lh, Lp)
+        assert pts16.shape[0] * Lh >= ntiles * P + 2 * C, (
+            f"points rows {pts16.shape[0]} * {Lh} < {ntiles * P + 2 * C}")
+        cams = fac_table(cams, Lc)
+        nhic = -(-ncams_t // Lca)
+        outc_shape = (nhic, Lca * 90)
+        pts_scratch = pltpu.VMEM((H // Lh, pts16.shape[1]), pts16.dtype)
+        accp_shape = (P // Lp, Lp * 12)
+    else:
+        assert pts16.shape[1] >= ntiles * P + 2 * C, (
+            f"points width {pts16.shape[1]} < {ntiles * P + 2 * C}")
+        outc_shape = (ncams_t, 90)
+        pts_scratch = pltpu.VMEM((8, H), pts16.dtype)
+        accp_shape = (P, 12)
 
-    kern = functools.partial(_assemble_kernel, C=C, P=P, H=H)
+    kern = functools.partial(_assemble_kernel, C=C, P=P, H=H, fac=fac)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -248,13 +327,13 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[any_spec,
                    pl.BlockSpec((P, 12), lambda t, b: (t, 0)),
-                   pl.BlockSpec((ncams, 90), lambda t, b: (0, 0)),
+                   pl.BlockSpec(outc_shape, lambda t, b: (0, 0)),
                    pl.BlockSpec((1, 1), lambda t, b: (0, 0))],
         scratch_shapes=[
             pltpu.VMEM((2, 8, C), jnp.float32),
-            pltpu.VMEM((8, H), pts16.dtype),
+            pts_scratch,
             pltpu.VMEM((2, K_PAD, C), out_dtype),
-            pltpu.VMEM((P, 12), jnp.float32),
+            pltpu.VMEM(accp_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -263,20 +342,24 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
     # Raise Mosaic's 16 MB scoped-vmem cap at large camera counts: the
     # (ncams, 90) accumulator + (ncams, C) scatter one-hots measured
     # 48.27 MB at ncams=13682 (logs/r4/abtest_r4.log group C; v5e has
-    # 128 MB VMEM/core). Same fix as pallas_schur.matvec_cam_scatter.
+    # 128 MB VMEM/core). The factorized layout shrinks both ~Lca-fold;
+    # keep the raised cap regardless.
     params = None
-    if ncams * (C + 180) * 4 > 12 * 2**20:
+    if ncams_t * (C + 180) * 4 > 12 * 2**20:
         params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
-    return pl.pallas_call(
+    W_t, outp, outc, obj = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((K_PAD, n_pad), out_dtype),
                    jax.ShapeDtypeStruct((ntiles * P, 12), jnp.float32),
-                   jax.ShapeDtypeStruct((ncams, 90), jnp.float32),
+                   jax.ShapeDtypeStruct(outc_shape, jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)],
         compiler_params=params,
         interpret=interpret,
     )(bounds, pw, pts16, cams)
+    if fac:
+        outc = fac_unscramble(outc, ncams_t, 90, fac[1])
+    return W_t, outp, outc, obj
 
 
 def _obj_kernel(pofs_ref, pw_ref, pts_ref, cams_ref, out_ref, pts_s,
@@ -396,13 +479,22 @@ def stack_trial_points(points, dp, scales, width: int) -> jnp.ndarray:
 
 
 def pad_points(points, ntiles: int, C: int | None = None) -> jnp.ndarray:
-    """(npnts, 3) -> k-minor (8, width) zero-padded for the halo windows
-    (width = ntiles*P + 2C rounded up to a multiple of 128)."""
+    """(npnts, 3) -> the assembly kernel's point-window array, zero-padded
+    for the halo windows (width = ntiles*P + 2C rounded up to a multiple
+    of 128 points): k-minor (8, width), or with the factorized kernels
+    the hi-layout (width/FAC_H_L, FAC_H_L*3) — a pure reshape of the
+    flat coords, no transpose."""
     from bundleadjustment_jl_tpu.ops.pallas_schur import (
         CHUNK_ROWS, pad_rows)
     P = SEG_TILE
     C = C or CHUNK_ROWS
     width = ntiles * P + 2 * C
     width = ((width + 127) // 128) * 128
+    if pallas_schur.FACTOR:
+        arr = fac_rows(points.astype(jnp.float32).reshape(-1),
+                       width // FAC_H_L, FAC_H_L, 3)
+        # manual-DMA window slices need a 128-multiple lane extent
+        lw = -(-arr.shape[1] // 128) * 128
+        return jnp.pad(arr, ((0, 0), (0, lw - arr.shape[1])))
     pts = pad_rows(points.T.astype(jnp.float32), 8)
     return jnp.pad(pts, ((0, 0), (0, width - pts.shape[1])))
