@@ -59,14 +59,27 @@ def run_campaign(solvers: Dict[str, Callable],
                     "nvar": problem.nvar, "nequ": problem.nequ,
                 }
             except Exception as e:  # the reference records `exception` rows
+                # One clean line per failure (the reference's discipline,
+                # `benchmark/first/lmqramd.log`): classify capability
+                # bounds (MemoryError from an explicit gate) vs runtime
+                # errors, and truncate tunnel/XLA boilerplate.
+                msg = repr(e)
+                if len(msg) > 300:
+                    key = next((ln for ln in msg.splitlines()
+                                if "RESOURCE_EXHAUSTED" in ln
+                                or "Mosaic" in ln
+                                or "error:" in ln.lower()), "")
+                    msg = (key or msg)[:300]
+                kind_e = ("capability" if isinstance(e, MemoryError)
+                          else "exception")
                 row = {"problem": pname, "solver": sname,
-                       "status": "exception", "objective": float("inf"),
+                       "status": kind_e, "objective": float("inf"),
                        "rmse_px": float("inf"), "iterations": 0,
                        "elapsed_s": time.perf_counter() - t0,
                        "neval_residual": -1, "neval_jac": -1,
                        "dual_feas": float("inf"),
                        "nvar": problem.nvar, "nequ": problem.nequ,
-                       "error": repr(e)}
+                       "error": msg}
             rows.append(row)
             logger(f"[bmark]   -> {row['status']} obj={row['objective']:.6g} "
                    f"iters={row['iterations']} t={row['elapsed_s']:.2f}s")

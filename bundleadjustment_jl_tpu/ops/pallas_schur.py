@@ -127,12 +127,16 @@ GATHER_TABLE_MAX_CAMS = int(_os.environ.get("BA_GATHER_MAX", 2048))
 # Camera-scatter mode (`cam_scatter_reduce`): camera-direction reductions
 # stream the POINT-sorted arrays and scatter-accumulate into a persistent
 # (ncams, d_out) VMEM accumulator across the sequential grid — no
-# camera-sorted W/JR copies, no (8, n) operand pre-gather.  The per-chunk
-# one-hot contraction costs O(ncams * C * d_out) MXU FLOPs, so the mode
-# is gated to moderate camera counts.  Off by default until measured on
-# TPU (enable with BA_CAM_SCATTER=1).
+# camera-sorted W/JR copies, no (8, n) operand pre-gather.  With the
+# digit-factorized scatter (round 5) the per-chunk cost is
+# O(ncams/L * C * L*d_out) MXU FLOPs and the cap covers Final-13682:
+# measured there, the factorized d9 scatter reduce (214 ms/matvec)
+# beats the camera-sorted route (43 ms segsum + 382 ms per-matvec
+# operand gather + per-accept re-linearization of the cam-sorted W,
+# logs/abtest_r5.log groups A/B) and the fused single-stream matvec
+# (512 ms, group D).  Enable with BA_CAM_SCATTER=1.
 CAM_SCATTER = _os.environ.get("BA_CAM_SCATTER", "0") == "1"
-CAM_SCATTER_MAX_CAMS = int(_os.environ.get("BA_CAM_SCATTER_MAX", 4096))
+CAM_SCATTER_MAX_CAMS = int(_os.environ.get("BA_CAM_SCATTER_MAX", 16384))
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -169,6 +173,41 @@ def _split3(x):
     return hi, mid, lo
 
 
+def _f16_decode(u):
+    """u16 bit patterns of f16 values -> f32, by integer bit surgery in
+    VMEM.  Mosaic has no f16 dialect type ("Unsupported type in mosaic
+    dialect: 'f16'", round-4 bench), so f16-stored arrays enter the
+    kernels as uint16 (an XLA bitcast at the dispatcher — byte traffic
+    of a 2-byte W preserved) and widen here.  Normals re-bias the
+    exponent (15 -> 127) with a 13-bit mantissa shift; subnormals are
+    exact as ``m * 2^-24`` (integer->float convert); inf/nan cannot
+    occur in the stored W (range-equilibrated to max ~2^14 by
+    `_maybe_cast_facto`, the `normalize_F16!` heir)."""
+    h = u.astype(jnp.int32)
+    exp = (h >> 10) & 0x1f
+    mant = h & 0x3ff
+    normal = jax.lax.bitcast_convert_type(
+        ((h & 0x7fff) << 13) + ((127 - 15) << 23), jnp.float32)
+    val = jnp.where(exp == 0, mant.astype(jnp.float32) * (2.0 ** -24),
+                    normal)
+    return jnp.where((h & 0x8000) != 0, -val, val)
+
+
+def _wf32(x):
+    """Widen a streamed storage-dtype chunk to f32 (u16 = f16 bits)."""
+    if x.dtype == jnp.uint16:
+        return _f16_decode(x)
+    return x.astype(jnp.float32)
+
+
+def _w_bits(W_t):
+    """Dispatcher-side storage wrap: f16 W streams enter the kernels as
+    uint16 bit patterns (see :func:`_f16_decode`)."""
+    if W_t is not None and W_t.dtype == jnp.float16:
+        return jax.lax.bitcast_convert_type(W_t, jnp.uint16)
+    return W_t
+
+
 def _parts(x, cls, exact=False):
     """Pre-split a value tensor for reuse across several 0/1 dots of one
     chunk; a 1-tuple f32 keeps the HIGHEST path when the class is off.
@@ -176,11 +215,9 @@ def _parts(x, cls, exact=False):
     bf16-stored W upconverted or raw): ONE bf16 term, one native pass."""
     if exact:
         return (x.astype(jnp.bfloat16),)
-    if x.dtype != jnp.float32:
-        # f16-stored W reaches the split raw; Mosaic has no direct
-        # f16 -> bf16 cast (NotImplementedError on hardware — first
-        # seen on the round-4 f16 bench, /tmp/bench_r4a.log). Upconvert
-        # to f32 first; the 3-term split is then exact as usual.
+    if x.dtype == jnp.uint16:
+        x = _f16_decode(x)
+    elif x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
     return _split3(x) if cls in SPLIT3_CLASSES else (x,)
 
@@ -435,7 +472,7 @@ def _seg_reduce_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
 
         x_rep = _doth(exp_m, x_t, ((1,), (0,)), "rhs",
                       "expand")                                # (K_PAD, C)
-        prod = wt_c.astype(jnp.float32) * x_rep                # (K_PAD, C)
+        prod = _wf32(wt_c) * x_rep                # (K_PAD, C)
         rows_t = _doth(red_m, prod, ((1,), (0,)), "rhs",
                        "expand")                               # (d_out, C)
 
@@ -543,7 +580,7 @@ def _seg_reduce_fac_kernel(bounds_ref, idx_ref, wt_ref, xt_ref, cam_ref,
         else:
             x_t = xc_s[slot].astype(jnp.float32)
         x_rep = _doth(exp_m, x_t, ((1,), (0,)), "rhs", "expand")
-        prod = wt_c.astype(jnp.float32) * x_rep                # (K_PAD, C)
+        prod = _wf32(wt_c) * x_rep                # (K_PAD, C)
         rows_t = _doth(red_m, prod, ((1,), (0,)), "rhs",
                        "expand")                               # (d_out, C)
         local = idx_s[slot] - seg_base
@@ -615,6 +652,7 @@ def _seg_block_reduce(W_t, idx_row, bounds, nseg, *, d_x, d_out,
     Exactly one of ``xt_obs`` (k-minor row-padded (8|16, n_pad) operand)
     or ``cam_row``+``table`` (in-kernel gather) is given.
     """
+    W_t = _w_bits(W_t)
     n_pad = W_t.shape[1]
     C = _chunk_rows(n_pad)
     P = SEG_TILE
@@ -934,6 +972,7 @@ def seg_prod_reduce(x1_t, idx_row, bounds, nseg, *, d_out, prod,
     """Dispatch :func:`_prod_reduce_kernel` -> (nseg, d_out)."""
     if interpret is None:
         interpret = INTERPRET
+    x1_t = _w_bits(x1_t)
     n_pad = x1_t.shape[1]
     C = _chunk_rows(n_pad)
     P = P or SEG_TILE
@@ -1080,6 +1119,7 @@ def cam_scatter_reduce(x1_t, cam_row, bounds, ncams, *, d_out, prod,
     """
     if interpret is None:
         interpret = INTERPRET
+    x1_t = _w_bits(x1_t)
     n_pad = x1_t.shape[1]
     C = _chunk_rows(n_pad)
     P = P or SEG_TILE
@@ -1228,7 +1268,7 @@ def _mv_scatter_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
             dma(j + 1, slot(j + 1))
 
         dma_wait(j, s)
-        wt_c = w_s[s].astype(jnp.float32)
+        wt_c = _wf32(w_s[s])
         cam_c = cam_s[s]
         pnt_c = pnt_s[s]
         oh_v = (jax.lax.broadcasted_iota(jnp.int32, (ncams, C), 0)
@@ -1368,7 +1408,7 @@ def _mv_scatter_fac_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
             dma(j + 1, slot(j + 1))
 
         dma_wait(j, s)
-        wt_c = w_s[s].astype(jnp.float32)
+        wt_c = _wf32(w_s[s])
         x_t = _fac_gather(cam_s[s], tab_parts, Lc, FAC_DP)     # (16, C)
         prod = wt_c * _doth(exp9, x_t, ((1,), (0,)), "rhs",
                             "expand")                          # (K_PAD, C)
@@ -1451,6 +1491,7 @@ def _mv_scatter_fac_kernel(bounds_ref, cam_ref, pnt_ref, wt_ref, table_ref,
 def _matvec_cam_scatter_fac(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
                             ncams, npnts, *, gp_f, sign, with_dp,
                             interpret):
+    W_t = _w_bits(W_t)
     n_pad = W_t.shape[1]
     C = _chunk_rows(n_pad)
     P = SEG_TILE
@@ -1523,6 +1564,7 @@ def matvec_cam_scatter(W_t, v, cam_row, pnt_row, hpp_inv_f, bounds,
         return _matvec_cam_scatter_fac(
             W_t, v, cam_row, pnt_row, hpp_inv_f, bounds, ncams, npnts,
             gp_f=gp_f, sign=sign, with_dp=with_dp, interpret=interpret)
+    W_t = _w_bits(W_t)
     n_pad = W_t.shape[1]
     C = _chunk_rows(n_pad)
     P = SEG_TILE

@@ -510,25 +510,106 @@ def predicted_reduction(problem: BAProblem, blocks: GNBlocks,
 # Dense path (small ncams; tests and direct solves)
 # ---------------------------------------------------------------------------
 
+# Dense-path residency cap: the two (3*npnts, 9*ncams) streaming targets
+# plus S and temps must fit HBM with headroom.  Past it the dense solver
+# is a CAPABILITY gap (like the reference's QR dying at scale,
+# `/root/reference/benchmark/first/lmqramd.log`) and is refused cleanly
+# BEFORE any compile — round 4's ungated refresh recorded 12 compile-time
+# OOM rows (XLA materialized a 53.5 GB broadcast from the old 4-D
+# multi-index scatter at LadyBug-460).
+import os as _os
+DENSE_MAX_BYTES = int(_os.environ.get("BA_DENSE_MAX_BYTES", 6 << 30))
+DENSE_CHUNK = int(_os.environ.get("BA_DENSE_CHUNK", 4096))
+
+
+def dense_schur_bytes(ncams: int, npnts: int) -> int:
+    """Estimated peak HBM residency of :func:`assemble_dense_schur`."""
+    mats = 2 * (3 * npnts) * (9 * ncams) * 4          # U2 / Yd2
+    s = 2 * (9 * ncams) ** 2 * 4                      # S + factor
+    upd = 2 * 3 * DENSE_CHUNK * 9 * ncams * 4         # chunk updates
+    return mats + s + upd
+
+
+def check_dense_feasible(ncams: int, npnts: int) -> None:
+    b = dense_schur_bytes(ncams, npnts)
+    if b > DENSE_MAX_BYTES:
+        raise MemoryError(
+            f"dense Schur gated: ~{b / 2**30:.1f} GB residency at "
+            f"ncams={ncams} npnts={npnts} exceeds BA_DENSE_MAX_BYTES="
+            f"{DENSE_MAX_BYTES / 2**30:.1f} GB (capability bound, like "
+            f"the reference's QR at scale)")
+
+
 def assemble_dense_schur(sys: SchurSystem) -> jnp.ndarray:
     """Materialize S as a dense (9*ncams, 9*ncams) matrix.
 
-    Scatters the per-observation ``Y_k = W_k Hpp_inv[pnt(k)]`` blocks into a
-    dense (ncams*9, npnts*3) matrix then contracts on the MXU. Memory is
-    O(ncams*npnts*27) — intended for small/medium problems where a direct
-    Cholesky beats PCG, and as the oracle for the matrix-free path.
+    Streams the per-observation blocks in fixed-size chunks into two
+    dense (3*npnts, 9*ncams) matrices — ``U2`` holds the W blocks, and
+    ``Yd2`` the ``Y_k = W_k Hpp_inv[pnt(k)]`` blocks — via flat ROW
+    scatter-adds (rows 3*pnt+b; the camera placement is a one-hot einsum
+    on the MXU), then contracts them in one big matmul.  The previous
+    4-D multi-index scatter (`.at[cam_idx, :, pnt_idx, :]`) lowered to a
+    f32[9, 3, ncams*npnts] broadcast — 53.5 GB at LadyBug-460, the
+    measured round-4 compile-time OOM.  Peak residency is now
+    O(27 * ncams * npnts) f32 for the two streaming targets only
+    (:func:`dense_schur_bytes`); intended for small/medium problems
+    where a direct Cholesky beats PCG, and as the oracle for the
+    matrix-free path.
     """
     ncams = sys.Hcc_l.shape[0]
     npnts = sys.Hpp_inv.shape[0]
-    Y = jnp.einsum("kab,kbc->kac", sys.W, sys.Hpp_inv[sys.pnt_idx])
-    # Dense U (9c x 3p) and Y_d from block scatters.
-    U = jnp.zeros((ncams, 9, npnts, 3), dtype=sys.W.dtype)
-    U = U.at[sys.cam_idx, :, sys.pnt_idx, :].add(sys.W)
-    Yd = jnp.zeros((ncams, 9, npnts, 3), dtype=sys.W.dtype)
-    Yd = Yd.at[sys.cam_idx, :, sys.pnt_idx, :].add(Y)
-    S = -jnp.einsum("aipc,bjpc->aibj", Yd, U)
-    S = S.at[jnp.arange(ncams), :, jnp.arange(ncams), :].add(sys.Hcc_l)
-    return S.reshape(9 * ncams, 9 * ncams)
+    n = sys.cam_idx.shape[0]
+    cdt = (jnp.float32 if sys.W.dtype in (jnp.bfloat16, jnp.float16)
+           else sys.W.dtype)
+    W = sys.W.astype(cdt)
+    Y = jnp.einsum("kab,kbc->kac", W,
+                   sys.Hpp_inv[sys.pnt_idx].astype(cdt),
+                   precision=jax.lax.Precision.HIGHEST)
+    q = min(DENSE_CHUNK, n)
+    nfull = (n // q) * q
+
+    def place(blocks, cam):
+        # (q, 9, 3) blocks -> (q*3, 9*ncams) rows (k, b) with the 9
+        # columns at camera offset 9*cam_k (one-hot MXU contraction).
+        oh = (cam[:, None] == jnp.arange(ncams)[None, :]).astype(cdt)
+        upd = jnp.einsum("kab,kc->kbca", blocks, oh,
+                         precision=jax.lax.Precision.HIGHEST)
+        return upd.reshape(q * 3, ncams * 9)
+
+    def step(i, carry):
+        U2, Yd2 = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * q, q, 0)
+        pnt = sl(sys.pnt_idx)
+        rows = (3 * pnt[:, None]
+                + jnp.arange(3)[None, :]).reshape(-1)     # (q*3,)
+        U2 = U2.at[rows].add(place(sl(W), sl(sys.cam_idx)))
+        Yd2 = Yd2.at[rows].add(place(sl(Y), sl(sys.cam_idx)))
+        return U2, Yd2
+
+    U2 = jnp.zeros((3 * npnts, 9 * ncams), cdt)
+    Yd2 = jnp.zeros((3 * npnts, 9 * ncams), cdt)
+    U2, Yd2 = jax.lax.fori_loop(0, n // q, step, (U2, Yd2))
+    if n > nfull:
+        pnt = sys.pnt_idx[nfull:]
+        rows = (3 * pnt[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+        oh = (sys.cam_idx[nfull:, None]
+              == jnp.arange(ncams)[None, :]).astype(cdt)
+        for tgt, blocks in ((0, W[nfull:]), (1, Y[nfull:])):
+            upd = jnp.einsum("kab,kc->kbca", blocks, oh,
+                             precision=jax.lax.Precision.HIGHEST)
+            upd = upd.reshape(-1, ncams * 9)
+            if tgt == 0:
+                U2 = U2.at[rows].add(upd)
+            else:
+                Yd2 = Yd2.at[rows].add(upd)
+    # S = Hcc_l (block diagonal) - Yd2' U2   (one MXU contraction)
+    S = -jax.lax.dot_general(
+        Yd2, U2, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)              # (9c, 9c)
+    S = S.reshape(ncams, 9, ncams, 9)
+    S = S.at[jnp.arange(ncams), :, jnp.arange(ncams), :].add(
+        sys.Hcc_l.astype(cdt))
+    return S.reshape(9 * ncams, 9 * ncams).astype(sys.W.dtype)
 
 
 def solve_dense(sys: SchurSystem) -> jnp.ndarray:

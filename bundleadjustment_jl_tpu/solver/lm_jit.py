@@ -680,15 +680,9 @@ def _split_options(problem, cams, points, max_iters, lam0, lam0_mode,
     static["gather_mode"] = gatherfree.MODE
     static["sorted_mode"] = segsum.SORTED_MODE
     static["pallas_mode"] = pallas_schur.PALLAS_MODE
-    if (static["pallas_mode"] and static["facto_dtype"] == "float16"
-            and not pallas_schur.INTERPRET):
-        # Mosaic has no f16 dialect type on this hardware ("Unsupported
-        # type in mosaic dialect: 'f16'", round-4 f16 bench) — an
-        # f16-stored W cannot enter the fused kernels. Route f16 facto
-        # through the XLA path; bf16 is TPU's native half precision and
-        # the production choice (interpret-mode CPU tests still cover
-        # the f16 kernels' math).
-        static["pallas_mode"] = False
+    # f16 facto rides the fused kernels as u16 bit patterns decoded in
+    # VMEM (`pallas_schur._f16_decode`) — the round-4 XLA-fallback
+    # routing (Mosaic has no f16 dialect type) is gone.
     static["cam_scatter"] = pallas_schur.CAM_SCATTER
     # factorized one-hot kernel settings: trace-time globals -> cache key
     static["fac"] = (pallas_schur.FACTOR, pallas_schur.FAC_CAM_L,

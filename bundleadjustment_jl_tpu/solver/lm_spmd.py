@@ -50,18 +50,14 @@ from bundleadjustment_jl_tpu.solver.lm_jit import (
 
 
 def _spmd_pallas_mode(facto_dtype) -> bool:
-    """Resolved Pallas mode for the spmd drivers: mirrors
-    `lm_jit._split_options`'s f16-facto-on-hardware downgrade (Mosaic
-    has no f16 dialect type; an f16-stored W cannot enter the fused
-    kernels — advisor, round 4: without this the spmd drivers hit the
-    Mosaic error at trace time on a real TPU mesh)."""
+    """Resolved Pallas mode for the spmd drivers.  f16 facto now rides
+    the fused kernels as u16 bit patterns (`pallas_schur._f16_decode`),
+    so no downgrade is needed; the hook stays as the single place a
+    facto-dtype-dependent routing decision would live (advisor, round
+    4)."""
+    del facto_dtype
     from bundleadjustment_jl_tpu.ops import pallas_schur
-    mode = pallas_schur.PALLAS_MODE
-    if (mode and facto_dtype is not None
-            and jnp.dtype(facto_dtype) == jnp.float16
-            and not pallas_schur.INTERPRET):
-        return False
-    return mode
+    return pallas_schur.PALLAS_MODE
 
 
 _CACHE: dict = {}

@@ -64,10 +64,13 @@ def build_solvers(full_matrix: bool, dense_max_ncams: int = 512):
         kw["linesearch"] = linesearch
 
         def solve(problem):
-            if kind == "dense" and problem.ncams > dense_max_ncams:
-                raise MemoryError(
-                    f"dense Schur guarded off at ncams="
-                    f"{problem.ncams} > {dense_max_ncams}")
+            if kind == "dense":
+                # capability gate on actual residency (ncams*npnts), not
+                # camera count alone: round 4's refresh hit compile-time
+                # OOMs at LadyBug-318+ (ncams under the old 512 gate)
+                from bundleadjustment_jl_tpu.ops.schur import (
+                    check_dense_feasible)
+                check_dense_feasible(problem.ncams, problem.npnts)
 
             def once():
                 t0 = time.perf_counter()

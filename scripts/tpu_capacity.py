@@ -104,7 +104,7 @@ def main(max_nobs=40_000_000, only=None):
                   for x in jax.tree.leaves(problem)))
         solve_kwargs = dict(
             max_iters=max_iters,
-            chunk_iters=1 if problem.nobs > 10_000_000 else 5,
+            chunk_iters=1 if problem.nobs > 10_000_000 else 3,
             pcg_max_iters=100, lam0_mode="diag",
             satol=0.0, srtol=0.0, atol=0.0, rtol=1e-5,
             oatol=0.0, ortol=1e-4, facto_dtype=facto)

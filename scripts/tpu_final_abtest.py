@@ -114,11 +114,12 @@ def group_b(problem):
           jnp.float32(1.0),
           (W_cam_t, xt8_cam, cam_sorted, problem.cam_starts),
           n_pad * (32 * 2 + 8 * 4))
-    timed("gather W_t->W_cam_t (per accept)",
-          lambda c, W, p: c + ps.gather_k_minor(
-              (W.astype(jnp.float32) * c).astype(W.dtype), p)[0, 0]
-          .astype(jnp.float32),
-          jnp.float32(1.0), (W_t, cam_perm), 32 * n_pad * 2 * 2)
+    # (The round-3/4 "gather W_t -> W_cam_t per accept" probe is gone:
+    # its 32 random-access flat row gathers reproducibly crash the
+    # remote TPU worker at 31M rows, and no code path builds W_cam_t by
+    # permutation anymore — round 4 replaced it with re-linearization,
+    # and round 5's factorized cam-scatter reduce removed the
+    # camera-sorted W at Final entirely.)
     W_f = jax.random.normal(jax.random.PRNGKey(5), (n_pad * 27,),
                             jnp.float32).astype(jnp.bfloat16)
     timed("to_k_minor W_f->W_t (per accept)",
