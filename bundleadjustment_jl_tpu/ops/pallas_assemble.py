@@ -362,6 +362,69 @@ def assemble_scatter(pw, pts16, cams, bounds, ncams, npnts, *,
     return W_t, outp, outc, obj
 
 
+def _obj_fac_kernel(pofs_ref, pw_ref, pts_ref, cams_ref, out_ref, pts_s,
+                    psem, *, C, S, WLOC, Lc, Lh, nhic8):
+    """Factorized :func:`_obj_kernel`: hi-layout trial-point windows
+    (one narrow hi dot + lane-masked fold per scale) and factorized
+    camera-table gathers; the (WLOC, C) window one-hot and its
+    (ncams, C) camera sibling are gone.  ``pts``: (S*WR, LW) stacked
+    hi-layout trial points (WR = width/Lh rows per scale); ``cams``:
+    (S*nhic8, Lc*FAC_DP) stacked hi-layout tables."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    WR = pts_ref.shape[0] // S
+    H2r = WLOC // Lh
+    pofs = pl.multiple_of(pofs_ref[j], 128)
+    row0 = pl.multiple_of(pofs // Lh, 8)
+    cps = []
+    for s in range(S):
+        cp = pltpu.make_async_copy(
+            pts_ref.at[pl.ds(s * WR + row0, H2r), :],
+            pts_s.at[pl.ds(s * H2r, H2r), :], psem.at[s])
+        cp.start()
+        cps.append(cp)
+
+    x = pw_ref[:].astype(jnp.float32)
+    obs = [x[0:1], x[1:2]]
+    w = x[2:3]
+    pid = x[3:4].astype(jnp.int32)
+    cid = x[4:5].astype(jnp.int32)
+    hi_rel = pid // Lh - row0
+    lo_p = pid - (pid // Lh) * Lh
+    oh_h = (jax.lax.broadcasted_iota(jnp.int32, (H2r, C), 0)
+            == hi_rel).astype(jnp.float32)
+    LW = pts_ref.shape[1]
+    lo_div = jax.lax.broadcasted_iota(jnp.int32, (LW, C), 0) // 3
+    fold3 = _iota01((3, LW), lambda r: r, lambda c: c % 3)
+    for cp in cps:
+        cp.wait()
+    pts = pts_s[:].astype(jnp.float32)           # (S*H2r, LW)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    acc = jnp.zeros((1, 128), jnp.float32)
+    cams = cams_ref[:].astype(jnp.float32)
+    for s in range(S):
+        cam_parts = _parts(cams[s * nhic8:(s + 1) * nhic8], "gather")
+        cpar = _fac_gather(cid, cam_parts, Lc, FAC_DP)       # (16, C)
+        win_parts = _parts(pts[s * H2r:(s + 1) * H2r], "gather")
+        tmp = _dotp(win_parts, oh_h, ((0,), (0,)), "lhs")    # (LW, C)
+        masked = jnp.where(lo_div == lo_p, tmp, 0.0)
+        X3 = _doth(fold3, masked, ((1,), (0,)), "rhs",
+                   "expand")                                 # (3, C)
+        res = project_chain(
+            [cpar[a:a + 1] for a in range(3)],
+            [cpar[a:a + 1] for a in range(3, 6)],
+            cpar[6:7], cpar[7:8], cpar[8:9],
+            [X3[b:b + 1] for b in range(3)], obs, w)
+        val = 0.5 * jnp.sum(res[0] * res[0] + res[1] * res[1])
+        acc = acc + jnp.where(col == s, val, 0.0)
+    out_ref[:] += acc
+
+
 def _obj_kernel(pofs_ref, pw_ref, pts_ref, cams_ref, out_ref, pts_s,
                 psem, *, C, S, WLOC):
     """One C-row column block: trial objectives for S scale candidates.
@@ -427,7 +490,6 @@ def objective_scatter(pw, pts_all, cams_all, pofs, *, interpret=None):
     (S, ncams, 9) trial cameras; ``pofs``: (nblocks,) int32 aligned
     point-window offsets (<= width - WLOC)."""
     if interpret is None:
-        from bundleadjustment_jl_tpu.ops import pallas_schur
         interpret = pallas_schur.INTERPRET
     n_pad = pw.shape[1]
     C = _chunk_rows(n_pad)
@@ -435,7 +497,26 @@ def objective_scatter(pw, pts_all, cams_all, pofs, *, interpret=None):
     WLOC = C + 256
     nblocks = n_pad // C
 
-    kern = functools.partial(_obj_kernel, C=C, S=S, WLOC=WLOC)
+    if pallas_schur.FACTOR:
+        ncams_t = cams_all.shape[1]
+        Lc, Lh = fac_cam_L(ncams_t), FAC_H_L
+        nhic = -(-ncams_t // Lc)
+        nhic8 = -(-nhic // 8) * 8      # 8-aligned per-scale row blocks
+        tabs = jnp.concatenate([
+            jnp.pad(fac_table(cams_all[s], Lc),
+                    ((0, nhic8 - nhic), (0, 0)))
+            for s in range(S)], axis=0)
+        kern = functools.partial(_obj_fac_kernel, C=C, S=S, WLOC=WLOC,
+                                 Lc=Lc, Lh=Lh, nhic8=nhic8)
+        scratch = [pltpu.VMEM((S * (WLOC // Lh), pts_all.shape[1]),
+                              pts_all.dtype),
+                   pltpu.SemaphoreType.DMA((S,))]
+        cams_arg = tabs
+    else:
+        kern = functools.partial(_obj_kernel, C=C, S=S, WLOC=WLOC)
+        scratch = [pltpu.VMEM((8 * S, WLOC), pts_all.dtype),
+                   pltpu.SemaphoreType.DMA]
+        cams_arg = cams_all
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -443,17 +524,14 @@ def objective_scatter(pw, pts_all, cams_all, pofs, *, interpret=None):
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 128), lambda j, p: (0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((8 * S, WLOC), pts_all.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
+        scratch_shapes=scratch,
+        )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         interpret=interpret,
-    )(pofs, pw, pts_all, cams_all)
+    )(pofs, pw, pts_all, cams_arg)
     return out[0, :S]
 
 
@@ -469,10 +547,19 @@ def trial_point_offsets(pnt_idx, nobs_pad: int, width: int,
 
 
 def stack_trial_points(points, dp, scales, width: int) -> jnp.ndarray:
-    """(npnts, 3) + per-scale steps -> (S*8, width) stacked k-minor
-    trial points (rows 8 s + d)."""
+    """(npnts, 3) + per-scale steps -> the trial-objective kernel's
+    stacked point array: (S*8, width) k-minor (rows 8 s + d), or with
+    the factorized kernels the stacked hi-layout
+    (S * width/FAC_H_L, FAC_H_L*3 -> 128 lanes), per-scale row
+    blocks — a pure reshape of each scale's flat coords."""
     S = scales.shape[0]
     trial = (points[None] + scales[:, None, None] * dp[None])   # (S,n,3)
+    if pallas_schur.FACTOR:
+        flat = trial.astype(jnp.float32).reshape(S, -1)
+        flat = jnp.pad(flat, ((0, 0), (0, width * 3 - flat.shape[1])))
+        arr = flat.reshape(S * (width // FAC_H_L), FAC_H_L * 3)
+        lw = -(-arr.shape[1] // 128) * 128
+        return jnp.pad(arr, ((0, 0), (0, lw - arr.shape[1])))
     kt = jnp.swapaxes(trial, 1, 2).astype(jnp.float32)          # (S,3,n)
     kt = jnp.pad(kt, ((0, 0), (0, 5), (0, width - kt.shape[2])))
     return kt.reshape(S * 8, width)

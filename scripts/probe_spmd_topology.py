@@ -49,6 +49,7 @@ def main(ncams=13682, npnts=4456117, opp=7):
     from bundleadjustment_jl_tpu.models.problem import BAProblem
 
     pallas_schur.set_mode(True)
+    pallas_schur.CAM_SCATTER = True     # the production Final config
     topo = get_topology()
     ndev = len(topo.devices)
     mesh = Mesh(np.asarray(topo.devices), ("obs",))
@@ -76,50 +77,51 @@ def main(ncams=13682, npnts=4456117, opp=7):
                        fromlist=["MODE"]).MODE,
                    sorted_mode=True,
                    pallas_mode=pallas_schur.PALLAS_MODE,
-                   cam_scatter=False,
+                   cam_scatter=(pallas_schur.CAM_SCATTER
+                                and ncams
+                                <= pallas_schur.CAM_SCATTER_MAX_CAMS),
                    fac=(pallas_schur.FACTOR, pallas_schur.FAC_CAM_L,
                         pallas_schur.FAC_PNT_L))
     hp = _resolve_hp(jnp.float32, None, 1e-5, 0.0, 0.0, 0.0, 0.0, 1e-4,
                      3.0, 3.0, 1e-4, 0.9, 1e-8, None, "ref")
 
-    shard_map = lm_spmd.shard_map
-    from jax.sharding import PartitionSpec as P
-    from bundleadjustment_jl_tpu.parallel.spmd import SPMD_AXIS, ShardStack
-    obs, rep = P(SPMD_AXIS), P()
-    in_arr_specs = ShardStack(rep, *([obs] * (len(ShardStack._fields) - 1)))
-    out_specs = dict(
-        cams=rep, points=obs, obj=rep, gnorm=rep, it=rep, status=rep,
-        naccepts=rep, hist_obj=rep, hist_gnorm=rep, hist_lam=rep,
-        hist_cg=rep)
+    # The production Final-scale driver: the chunked spmd programs
+    # (init + K-iteration segment), exactly what a real multi-chip run
+    # dispatches.  XLA enforces the per-device HBM budget (~15.75 GB on
+    # v5e) at compile time — a successful compile IS the fit proof (the
+    # round-4 single-chip OOMs all surfaced as compile failures).
+    init_fn, seg_fn = lm_spmd._get_chunked_fns(mesh, statics, False)
+    avals_a = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), sp.arrays)
+    hp_a = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        hp)
+    lam_a = jax.ShapeDtypeStruct((), jnp.float32)
 
-    def body(arrs, hp, lam0):
-        return lm_spmd._local_solve(arrs, hp, lam0, statics=statics,
-                                    has_lam0=False)
+    def report(name, compiled, dt):
+        m = compiled.memory_analysis()
+        tot = (m.argument_size_in_bytes + m.output_size_in_bytes
+               + m.temp_size_in_bytes) / 1e9
+        print(f"[topo] {name}: compiled in {dt:.0f} s — "
+              f"code {m.generated_code_size_in_bytes / 1e6:.1f} MB, "
+              f"per-device args {m.argument_size_in_bytes / 1e9:.2f} + "
+              f"out {m.output_size_in_bytes / 1e9:.2f} + "
+              f"temps {m.temp_size_in_bytes / 1e9:.2f} "
+              f"= {tot:.2f} GB (v5e budget 15.75 GB/device)", flush=True)
 
-    fn = jax.jit(shard_map(body, mesh=mesh,
-                           in_specs=(in_arr_specs, rep, rep),
-                           out_specs=out_specs, **lm_spmd._check_kw()))
-    avals = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-        (sp.arrays, hp, jnp.float32(0.0)))
     t0 = time.perf_counter()
-    lowered = fn.lower(*avals)
-    print(f"[topo] lowered in {time.perf_counter() - t0:.0f} s",
-          flush=True)
+    c1 = init_fn.lower(avals_a, hp_a, lam_a).compile()
+    report("init segment", c1, time.perf_counter() - t0)
+    st_aval = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.eval_shape(lambda a, h, l: init_fn(a, h, l),
+                       avals_a, hp_a, lam_a))
     t0 = time.perf_counter()
-    compiled = lowered.compile()
-    dt = time.perf_counter() - t0
-    m = compiled.memory_analysis()
-    per_dev_gb = (m.argument_size_in_bytes + m.output_size_in_bytes
-                  + m.temp_size_in_bytes) / 1e9
-    print(f"[topo] COMPILED for {ndev}-device v5e slice in {dt:.0f} s:\n"
-          f"  code      {m.generated_code_size_in_bytes / 1e6:.1f} MB\n"
-          f"  args      {m.argument_size_in_bytes / 1e9:.2f} GB\n"
-          f"  outputs   {m.output_size_in_bytes / 1e9:.2f} GB\n"
-          f"  temps     {m.temp_size_in_bytes / 1e9:.2f} GB\n"
-          f"  per-device total ~{per_dev_gb:.2f} GB vs 16 GB v5e HBM "
-          f"-> {'FITS' if per_dev_gb < 14 else 'DOES NOT FIT'}",
-          flush=True)
+    c2 = seg_fn.lower(avals_a, st_aval, hp_a).compile()
+    report("LM segment  ", c2, time.perf_counter() - t0)
+    print(f"[topo] PASS: both chunked spmd programs compile for the "
+          f"{ndev}-device v5e 2x4 slice at {problem.name} shapes "
+          f"within the per-device HBM budget.", flush=True)
 
 
 if __name__ == "__main__":
