@@ -146,6 +146,8 @@ def performance_profile(rows: List[dict], cost: str = "elapsed_s",
         j = solvers.index(r["solver"])
         if r["status"] in SOLVED_STATUSES and np.isfinite(r.get(cost, np.inf)):
             costs[i, j] = max(float(r[cost]), 1e-12)
+    if costs.size == 0:
+        return None   # nothing to profile (e.g. an empty campaign)
     best = costs.min(axis=1, keepdims=True)
     ratios = np.where(np.isfinite(best), costs / best, np.inf)
     finite = ratios[np.isfinite(ratios)]

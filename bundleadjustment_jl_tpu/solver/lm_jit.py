@@ -341,14 +341,22 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
     del lam0_mode, gather_mode, sorted_mode, cam_scatter, fac
     dtype = state["cams"].dtype
     kminor = _kminor(problem, dtype, pallas_mode, use_cgls, use_dense)
-    # "Narrow" facto = storage dtype actually NARROWER than the working
-    # width. The CG floor / stagnation window / pred-reduction stop only
-    # make sense for an inexact matvec; an explicit facto_dtype=float32
-    # is an exact matvec and keeps the reference stopping semantics
-    # (advisor, round 4: gating on `is not None` truncated legitimate CG
-    # plateaus in the rtol=1e-12 parity configuration).
-    facto_narrow = (facto_dtype is not None
-                    and jnp.dtype(facto_dtype).itemsize < 4)
+    # "Narrow" = the matvec/objective resolution is coarser than f32:
+    # either the facto storage dtype is narrower than the working width,
+    # or the WORKING dtype itself is half-precision (cascade low
+    # stages). The CG floor / stagnation window / pred-reduction stop
+    # only make sense then; an explicit facto_dtype=float32 is an exact
+    # matvec and keeps the reference stopping semantics (advisor, round
+    # 4: gating on `is not None` truncated legitimate CG plateaus in
+    # the rtol=1e-12 parity configuration). The half-working case is
+    # load-bearing for the bf16 cascade stage: near its floor the
+    # OBJECTIVE quantizes (ulp(2e4) ~ 78 in bf16) so ared rounds to 0,
+    # every step rejects, and without the pred-reduction stop the stage
+    # burns ~50 rejections into a NaN (measured, round-5 diffprec
+    # re-run) instead of stopping at the floor.
+    facto_narrow = ((facto_dtype is not None
+                     and jnp.dtype(facto_dtype).itemsize < 4)
+                    or jnp.dtype(dtype).itemsize < 4)
 
     def linearize(c, p):
         # Hot path keeps only the reduced blocks (with_jr=False): obj is
@@ -391,8 +399,9 @@ def _lm_run_impl(problem: BAProblem, state, hp, *, max_iters, pcg_max_iters,
             # matvecs at Dubrovnik-356 with bf16 W before this floor,
             # logs/profile_r3b_dub_bf16.log). LM absorbs the inexact
             # step via its gain-ratio acceptance (inexact-Newton).
-            floor = _CG_FLOOR_MULT * float(
-                jnp.finfo(jnp.dtype(facto_dtype)).eps)
+            narrow_dt = (jnp.dtype(facto_dtype)
+                         if facto_dtype is not None else jnp.dtype(dtype))
+            floor = _CG_FLOOR_MULT * float(jnp.finfo(narrow_dt).eps)
             rtol_cg = jnp.maximum(rtol_cg, jnp.asarray(floor, dtype))
         lam_f = lam
         if use_cgls:
