@@ -618,6 +618,10 @@ def solve_dense(sys: SchurSystem) -> jnp.ndarray:
     Half precisions factor in f32 (TPU MXU accumulation dtype; CPU LAPACK
     has no half kernels).
     """
+    # Shapes are static, so this raises at TRACE time — every dense
+    # entry point (CLI --solver dense, host driver, benchmark runner)
+    # gets the clean capability error instead of a compile-time OOM.
+    check_dense_feasible(sys.Hcc_l.shape[0], sys.Hpp_inv.shape[0])
     S = assemble_dense_schur(sys)
     dt = S.dtype
     fdt = jnp.float32 if dt in (jnp.bfloat16, jnp.float16) else dt
