@@ -161,3 +161,30 @@ def test_f16_storage_rides_fused_matvec(rig):
         W16.astype(jnp.float32), rig["v"], rig["cam"], rig["pnt"],
         rig["hpp"], rig["bounds"], rig["ncams"], rig["npnts"]))
     _close(ref, got, tol=1e-4)   # identical W values -> reassociation only
+
+
+@pytest.mark.parametrize("npnts,ncams,n", [
+    (5, 1, 128),        # fewer segments than one lo digit
+    (17, 3, 256),       # nhi = 1 everywhere
+    (513, 7, 1024),     # one past a tile boundary
+    (511, 513, 2048),   # more cameras than points
+])
+def test_fac_edge_shapes(npnts, ncams, n):
+    """Factorized == flat on degenerate shapes (tiny/uneven segment
+    counts, nhi = 1, partial tiles)."""
+    rng = np.random.default_rng(npnts * 1000 + ncams)
+    pnt = np.sort(rng.integers(0, npnts, n))
+    pnt[-1] = npnts - 1
+    cam = rng.integers(0, ncams, n)
+    W = rng.normal(size=(32, n)).astype(np.float32)
+    W[27:] = 0
+    starts = np.searchsorted(pnt, np.arange(npnts + 1)).astype(np.int32)
+    bounds = ps.tile_bounds(jnp.asarray(starts), npnts)
+    v = jnp.asarray(rng.normal(size=(ncams, 9)).astype(np.float32))
+    hpp = jnp.asarray(rng.normal(size=(npnts * 9,)).astype(np.float32))
+    gp = jnp.asarray(rng.normal(size=(npnts * 3,)).astype(np.float32))
+    args = (jnp.asarray(W), v, jnp.asarray(cam), jnp.asarray(pnt), hpp,
+            bounds, ncams, npnts)
+    a, b = _ab(lambda: ps.matvec_cam_scatter(
+        *args, gp_f=gp, sign=-1.0, with_dp=True)[0])
+    _close(a, b)
