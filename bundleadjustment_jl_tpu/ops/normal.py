@@ -384,9 +384,16 @@ def _assemble_kminor(problem: BAProblem, cams, points,
         W_cam_t = None
         if huge and not pallas_schur.cam_scatter_ok(problem,
                                                     problem.ncams):
-            # The per-MATVEC camera reduce still wants the cam-sorted W
-            # (segsum 95 ms vs one-hot scatter 1709 ms per matvec at
-            # ncams=13682, logs/r3e/abtest.log). Permuting W_t costs
+            # Fallback for huge problems with camera-scatter mode OFF
+            # (BA_CAM_SCATTER=0 or ncams beyond CAM_SCATTER_MAX_CAMS).
+            # Round 5's factorized scatter made the scatter route the
+            # Final default (d9 scatter 214 ms vs segsum 43 + operand
+            # gather 382 ms per matvec, logs/abtest_r5.log), so this
+            # branch no longer runs at Final; the numbers below are the
+            # round-3/4 FLAT-one-hot measurements that motivated it.
+            # The per-MATVEC camera reduce here wants the cam-sorted W
+            # (segsum 95 ms vs flat one-hot scatter 1709 ms per matvec
+            # at ncams=13682, logs/r3e/abtest.log). Permuting W_t costs
             # 9.6 s per accept (32 random-access row gathers at
             # ~0.8 GB/s, logs/r4/final_profile_r4c.log); RE-LINEARIZING
             # on camera-sorted operands streams at kernel rate and is
